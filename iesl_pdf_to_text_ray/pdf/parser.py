@@ -25,9 +25,11 @@ class Parser:
         self.pos1 = self.lexer.tok_start
         self.buf2 = self.lexer.next_token()
         self.pos2 = self.lexer.tok_start
+        self.last_pos = pos
 
     def shift(self):
         tok = self.buf1
+        self.last_pos = self.pos1
         self.buf1 = self.buf2
         self.pos1 = self.pos2
         self.buf2 = self.lexer.next_token()
