@@ -1,0 +1,113 @@
+"""The flagship pipeline: PDF corpus table -> interleaved span table.
+
+Ray-Data-native topology (streaming end to end, SURVEY.md §7):
+
+  read_parquet(pending shards, include_paths)       # prune at the read
+    -> map_batches(ExtractDocs, actor pool)         # stateful parse stage
+    -> groupby(partition_id).map_groups(writer)     # per-partition atomic
+                                                    # output + lineage
+  (skew path) split_tasks -> map_batches(ExtractShards)
+    -> groupby(doc_id).map_groups(reassemble)       # the one ordering shuffle
+
+Resume: completed partitions are anti-joined away from the input file list
+before anything is read (state/lineage.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+
+from ..stages.extract import (ExtractDocs, ExtractShards, OUT_SCHEMA,
+                              reassemble_groups, spans_digest, split_tasks)
+from ..state import lineage
+
+
+def _input_shards(corpus_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+
+
+def extract_dataset(corpus_dir_or_ds, *, concurrency=None, batch_size: int = 8,
+                    split_pages: bool = False):
+    """Build the lazy extraction Dataset (no output writing)."""
+    import ray.data
+    if concurrency is None:
+        concurrency = (1, 8)  # autoscaling actor pool
+    if isinstance(corpus_dir_or_ds, str):
+        ds = ray.data.read_parquet(_input_shards(corpus_dir_or_ds))
+    else:
+        ds = corpus_dir_or_ds
+    if split_pages:
+        ds = ds.map_batches(split_tasks, batch_format="pyarrow",
+                            batch_size=batch_size)
+        ds = ds.map_batches(ExtractShards, batch_format="pyarrow",
+                            batch_size=batch_size, concurrency=concurrency)
+        ds = ds.groupby("doc_id").map_groups(reassemble_groups,
+                                             batch_format="pyarrow")
+    else:
+        ds = ds.map_batches(ExtractDocs, batch_format="pyarrow",
+                            batch_size=batch_size, concurrency=concurrency)
+    return ds
+
+
+def extract_to_dir(corpus_dir: str, out_dir: str, *, concurrency=None,
+                   batch_size: int = 8) -> dict:
+    """Resumable run: skip completed partitions, write parquet + lineage."""
+    import ray.data
+    if concurrency is None:
+        concurrency = (1, 8)
+
+    os.makedirs(out_dir, exist_ok=True)
+    shards = _input_shards(corpus_dir)
+    done = lineage.completed_partitions(out_dir)
+    pending = [f for f in shards
+               if lineage.partition_id_for(f) not in done]
+    stats = {"partitions_total": len(shards),
+             "partitions_skipped": len(shards) - len(pending),
+             "partitions_run": len(pending)}
+    if not pending:
+        return stats
+
+    ds = ray.data.read_parquet(pending, include_paths=True)
+
+    def tag_partition(batch: pa.Table) -> pa.Table:
+        pids = [lineage.partition_id_for(p)
+                for p in batch.column("path").to_pylist()]
+        return (batch.drop_columns(["path"])
+                .append_column("partition_id", pa.array(pids, pa.string())))
+
+    ds = ds.map_batches(tag_partition, batch_format="pyarrow")
+    ds = ds.map_batches(ExtractDocs, batch_format="pyarrow",
+                        batch_size=batch_size, concurrency=concurrency)
+
+    def write_group_bound(group: pa.Table) -> pa.Table:
+        pid = group.column("partition_id")[0].as_py()
+        table = group.drop_columns(["partition_id"])
+        spans_col = table.column("spans").to_pylist()
+        digest = spans_digest([s for row in spans_col for s in row])
+        n_docs = table.num_rows
+        n_spans = sum(len(r) for r in spans_col)
+        n_errors = sum(1 for e in table.column("error").to_pylist() if e)
+        lineage.write_partition(out_dir, pid, table,
+                                {"n_docs": n_docs, "n_spans": n_spans,
+                                 "n_errors": n_errors, "digest": digest})
+        return pa.table({"partition_id": pa.array([pid], pa.string()),
+                         "n_docs": pa.array([n_docs], pa.int64()),
+                         "n_spans": pa.array([n_spans], pa.int64()),
+                         "n_errors": pa.array([n_errors], pa.int64())})
+
+    manifest = (ds.groupby("partition_id")
+                .map_groups(write_group_bound, batch_format="pyarrow")
+                .take_all())
+    stats["n_docs"] = sum(r["n_docs"] for r in manifest)
+    stats["n_spans"] = sum(r["n_spans"] for r in manifest)
+    stats["n_errors"] = sum(r["n_errors"] for r in manifest)
+    return stats
+
+
+def read_output(out_dir: str):
+    import ray.data
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    return ray.data.read_parquet(files)

@@ -1,0 +1,84 @@
+"""Corpus sources: the regression-PDF corpus table and synthetic tables.
+
+The primary pipeline input is a table of documents with binary PDF payloads
+(Lance at production scale; parquet stand-in here — the container has no
+lance wheel, so ``read_corpus`` gates on import).  Schema:
+
+    doc_id    : string
+    pdf_bytes : binary
+    n_pages   : int32
+
+``synthesize_pdf_corpus`` replicates the 4 reference regression PDFs into
+N rows with deterministic doc_ids — in-sandbox bytes, no external data —
+written as M parquet shard files so the pipeline has real partitions to
+stream, skip on resume, and skew-split.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_REF_INPUT = "/root/reference/src/test/resources/input"
+_REF_DOCS = [("1301.4293", 4), ("C04-1204", 7), ("test24", 12), ("test25", 7)]
+
+CORPUS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("pdf_bytes", pa.binary()),
+    ("n_pages", pa.int32()),
+])
+
+SPAN_STRUCT = pa.struct([
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("offset", pa.int32()),
+])
+
+SPANS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("spans", pa.list_(SPAN_STRUCT)),
+])
+
+
+def reference_pdf_bytes() -> dict[str, bytes]:
+    return {name: open(f"{_REF_INPUT}/{name}.pdf", "rb").read()
+            for name, _ in _REF_DOCS}
+
+
+def synthesize_pdf_corpus(out_dir: str, n_docs: int = 64,
+                          n_shards: int = 8) -> str:
+    """Deterministic corpus: doc i replicates reference PDF i%4."""
+    os.makedirs(out_dir, exist_ok=True)
+    blobs = reference_pdf_bytes()
+    per_shard = (n_docs + n_shards - 1) // n_shards
+    row = 0
+    for shard in range(n_shards):
+        ids, payloads, pages = [], [], []
+        for _ in range(min(per_shard, n_docs - row)):
+            name, n_pages = _REF_DOCS[row % len(_REF_DOCS)]
+            ids.append(f"doc-{row:08d}-{name}")
+            payloads.append(blobs[name])
+            pages.append(n_pages)
+            row += 1
+        if not ids:
+            break
+        table = pa.table({"doc_id": ids, "pdf_bytes": payloads,
+                          "n_pages": pa.array(pages, pa.int32())},
+                         schema=CORPUS_SCHEMA)
+        pq.write_table(table, os.path.join(out_dir, f"part-{shard:05d}.parquet"))
+    return out_dir
+
+
+def read_corpus(path: str):
+    """ray.data Dataset over the corpus (Lance when available, else parquet)."""
+    import ray.data
+    try:
+        import lance  # noqa: F401
+        if os.path.isdir(path) and path.endswith(".lance"):
+            return ray.data.read_lance(path)
+    except ImportError:
+        pass
+    return ray.data.read_parquet(path)

@@ -1,0 +1,117 @@
+"""End-to-end Ray Data pipeline tests: extraction, skew split, resume."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from iesl_pdf_to_text_ray.functions.golden import parse_golden_spans
+from iesl_pdf_to_text_ray.pipelines.extract_pipeline import (
+    extract_dataset, extract_to_dir, read_output)
+from iesl_pdf_to_text_ray.sources.corpus import synthesize_pdf_corpus
+from iesl_pdf_to_text_ray.state import lineage
+
+EXPECTED = "/root/reference/src/test/resources/output"
+GOLDEN_TEXT_COUNTS = {"1301.4293": 569, "C04-1204": 5603,
+                      "test24": 3543, "test25": 1313}
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    return synthesize_pdf_corpus(str(d), n_docs=12, n_shards=4)
+
+
+def test_extract_dataset_end_to_end(ray_session, corpus_dir):
+    ds = extract_dataset(corpus_dir, concurrency=2, batch_size=4)
+    rows = ds.take_all()
+    assert len(rows) == 12
+    for row in rows:
+        assert not row["error"]
+        base = row["doc_id"].split("-", 2)[2]
+        texts = [s["text"] for s in row["spans"] if s["kind"] == "text"]
+        assert len(texts) == GOLDEN_TEXT_COUNTS[base]
+        # reading order: offsets dense
+        assert [s["offset"] for s in row["spans"]] == list(range(len(row["spans"])))
+
+
+def test_extract_matches_golden_through_ray(ray_session, corpus_dir):
+    ds = extract_dataset(corpus_dir, concurrency=2, batch_size=4)
+    row = next(r for r in ds.take_all()
+               if r["doc_id"].endswith("test24"))
+    golden = parse_golden_spans(f"{EXPECTED}/test24.pdf.expected/tspan-texts.txt")
+    texts = [s["text"] for s in row["spans"] if s["kind"] == "text"]
+    assert texts == golden
+
+
+def test_page_split_reassembly_identical(ray_session, corpus_dir):
+    """Skew path must give byte-identical spans to the whole-doc path."""
+    import iesl_pdf_to_text_ray.stages.extract as ex
+    old = ex.SPLIT_PAGE_THRESHOLD
+    ex.SPLIT_PAGE_THRESHOLD = 2   # force every doc through page sharding
+    try:
+        ds = extract_dataset(corpus_dir, concurrency=2, batch_size=4,
+                             split_pages=True)
+        split_rows = {r["doc_id"]: r["spans"] for r in ds.take_all()}
+    finally:
+        ex.SPLIT_PAGE_THRESHOLD = old
+    ds2 = extract_dataset(corpus_dir, concurrency=2, batch_size=4)
+    whole_rows = {r["doc_id"]: r["spans"] for r in ds2.take_all()}
+    assert split_rows.keys() == whole_rows.keys()
+    for doc_id in whole_rows:
+        assert split_rows[doc_id] == whole_rows[doc_id], doc_id
+
+
+def test_resume_skips_completed_partitions(ray_session, corpus_dir, tmp_path):
+    out_dir = str(tmp_path / "out")
+    stats1 = extract_to_dir(corpus_dir, out_dir, concurrency=2, batch_size=4)
+    assert stats1["partitions_run"] == 4
+    assert stats1["n_errors"] == 0
+    clean = {r["doc_id"]: r["spans"]
+             for r in read_output(out_dir).take_all()}
+    assert len(clean) == 12
+
+    # simulate a killed run: two partitions lose data+lineage
+    victims = sorted(lineage.completed_partitions(out_dir))[:2]
+    for pid in victims:
+        os.remove(lineage.data_path(out_dir, pid))
+        os.remove(lineage.lineage_path(out_dir, pid))
+    survivors = {pid: os.path.getmtime(lineage.data_path(out_dir, pid))
+                 for pid in lineage.completed_partitions(out_dir)}
+    assert len(survivors) == 2
+
+    stats2 = extract_to_dir(corpus_dir, out_dir, concurrency=2, batch_size=4)
+    assert stats2["partitions_skipped"] == 2
+    assert stats2["partitions_run"] == 2
+    # untouched partitions were not rewritten
+    for pid, mtime in survivors.items():
+        assert os.path.getmtime(lineage.data_path(out_dir, pid)) == mtime
+    resumed = {r["doc_id"]: r["spans"]
+               for r in read_output(out_dir).take_all()}
+    assert resumed == clean
+
+    # idempotent third run: nothing to do
+    stats3 = extract_to_dir(corpus_dir, out_dir)
+    assert stats3["partitions_run"] == 0
+
+
+def test_poison_document_quarantined(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from iesl_pdf_to_text_ray.sources.corpus import (CORPUS_SCHEMA,
+                                                     reference_pdf_bytes)
+    blobs = reference_pdf_bytes()
+    table = pa.table({
+        "doc_id": ["good", "poison", "empty"],
+        "pdf_bytes": [blobs["1301.4293"], b"%PDF-1.4 garbage no xref", b""],
+        "n_pages": pa.array([4, 1, 0], pa.int32())}, schema=CORPUS_SCHEMA)
+    d = tmp_path / "poison"
+    d.mkdir()
+    pq.write_table(table, str(d / "part-00000.parquet"))
+    rows = {r["doc_id"]: r
+            for r in extract_dataset(str(d), batch_size=4).take_all()}
+    assert rows["good"]["error"] == "" and rows["good"]["n_spans"] > 0
+    assert rows["poison"]["error"] != "" and rows["poison"]["n_spans"] == 0
+    assert rows["empty"]["error"] != ""
