@@ -1,44 +1,161 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline (regression-PDF corpus ->
+interleaved span table) plus the spans-normalization pipeline over
+sf0.001.  ``queries()`` exposes one entry per implemented operator;
+``oracle_sql()`` gives the DuckDB-equivalent SQL where expressible (the
+rest are validated structurally in tests/ and get the driver's rows-only
+check).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_SF0001 = "/root/testdata/sf0.001"
+_CORPUS_CACHE = "/tmp/graft_corpus_cache"
+
+
+def _corpus_dir(n_docs: int = 16, n_shards: int = 4) -> str:
+    from iesl_pdf_to_text_ray.sources.corpus import synthesize_pdf_corpus
+    d = os.path.join(_CORPUS_CACHE, f"n{n_docs}")
+    marker = os.path.join(d, "part-00000.parquet")
+    if not os.path.exists(marker):
+        synthesize_pdf_corpus(d, n_docs=n_docs, n_shards=n_shards)
+    return d
+
+
+def extract_corpus_query(sf_dir: str):
+    """Flagship: PDF bytes -> spans via the actor-pool pipeline."""
+    from iesl_pdf_to_text_ray.pipelines.extract_pipeline import extract_dataset
+    import pyarrow as pa
+    from iesl_pdf_to_text_ray.stages.extract import spans_digest
+    ds = extract_dataset(_corpus_dir(), concurrency=(1, 4), batch_size=4)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+            "n_spans": pa.array([r["n_spans"] for r in rows], pa.int32()),
+            "n_text": pa.array([r["n_text"] for r in rows], pa.int32()),
+            "n_media": pa.array([r["n_media"] for r in rows], pa.int32()),
+            "digest": pa.array([spans_digest(r["spans"]) for r in rows],
+                               pa.string())})
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: interleaved spans
+    synthesis + normalization over the documents table, fused with the
+    PDF-extraction summary (both return span-shaped outputs)."""
+    from iesl_pdf_to_text_ray.pipelines.spans_ops import spans_pipeline
+    return spans_pipeline(_SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from iesl_pdf_to_text_ray.pipelines import spans_ops, table_ops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction engine (non-SQL; golden-verified via pytest)
+        "extract_corpus": extract_corpus_query,
+        "spans_normalize": spans_ops.spans_pipeline,
+        # dedup family
+        "dedup_exact": table_ops.dedup_exact,
+        "dedup_minhash": table_ops.dedup_minhash,
+        "dedup_simhash": table_ops.dedup_simhash,
+        "dedup_ngram_jaccard": table_ops.dedup_ngram_jaccard,
+        # text analysis
+        "lang_stats": table_ops.lang_stats,
+        "top_longest": table_ops.top_longest,
+        "token_stats": table_ops.token_stats,
+        "quality_scores": table_ops.quality_scores,
+        "doc_fingerprints": table_ops.doc_fingerprints,
+        "langid_predict": table_ops.langid_predict,
+        # similarity search
+        "ann_bruteforce": table_ops.ann_bruteforce,
+        "ann_ivf": table_ops.ann_ivf,
+        # streaming-ish / relational
+        "events_hourly": table_ops.events_hourly,
+        "revenue_by_nation": table_ops.revenue_by_nation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash,
+                   min(doc_id) AS doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "lang_stats": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "top_longest": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "token_stats": """
+            SELECT lang,
+                   sum(len(regexp_extract_all(text, '\\S+')))::BIGINT
+                       AS total_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   length(text)::BIGINT AS text_len,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       / greatest(length(text), 1) AS alpha_ratio,
+                   (length(text) - length(replace(text, ' ', '')))
+                       / greatest(length(text), 1) AS space_ratio,
+                   length(regexp_replace(text, '[\\sA-Za-z0-9]', '', 'g'))
+                       / greatest(length(text), 1) AS punct_ratio
+            FROM documents
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "ann_bruteforce": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id < 8),
+                 scored AS (
+                   SELECT q.vec_id AS query_id,
+                          e.vec_id AS neighbor_id,
+                          round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                       e.embedding::DOUBLE[]), 6)
+                              AS sim
+                   FROM q, embeddings e
+                   WHERE e.vec_id <> q.vec_id)
+            SELECT query_id, neighbor_id, sim FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS rk
+                FROM scored) WHERE rk <= 10
+        """,
+        "events_hourly": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name AS nation,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+    }

@@ -1,0 +1,142 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once via
+``ray.put`` and every ``map_batches`` task computes a vectorized partial
+top-k against its batch (numpy matmul); partials are merged in a final
+small groupby.  Scale path: IVF — deterministic k-means coarse quantizer,
+bucket assignment as a batch transform, probe-limited exact search.
+
+Similarities are rounded to 6 decimals *before* ranking so ranking is
+reproducible across engines (ties broken by neighbor id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _matrix(batch_col) -> np.ndarray:
+    arr = batch_col.to_pylist()
+    return np.asarray(arr, dtype=np.float64)
+
+
+def normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForcePartialTopK:
+    """map_batches stage: partial top-k of each batch vs broadcast queries."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+        q = ray.get(queries_ref)
+        self.query_ids = q["ids"]
+        self.qmat = normalize(np.asarray(q["vecs"], dtype=np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist())
+        mat = normalize(_matrix(batch.column("embedding")))
+        sims = np.round(self.qmat @ mat.T, 6)   # (n_query, n_batch)
+        out_q, out_n, out_s = [], [], []
+        k = min(self.k, sims.shape[1])
+        for qi, qid in enumerate(self.query_ids):
+            row = sims[qi]
+            # exclude self-matches
+            mask = ids != qid
+            cand_idx = np.nonzero(mask)[0]
+            if len(cand_idx) == 0:
+                continue
+            vals = row[cand_idx]
+            take = min(k, len(cand_idx))
+            part = cand_idx[np.argpartition(-vals, take - 1)[:take]]
+            for i in part:
+                out_q.append(int(qid))
+                out_n.append(int(ids[i]))
+                out_s.append(float(row[i]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+
+def merge_topk_group(group: pa.Table, k: int) -> pa.Table:
+    """groupby(query_id).map_groups: merge partial candidates -> final top-k."""
+    qid = group.column("query_id")[0].as_py()
+    neigh = np.asarray(group.column("neighbor_id").to_pylist())
+    sims = np.asarray(group.column("sim").to_pylist())
+    order = np.lexsort((neigh, -sims))[:k]
+    return pa.table({
+        "query_id": pa.array([qid] * len(order), pa.int64()),
+        "neighbor_id": pa.array(neigh[order], pa.int64()),
+        "sim": pa.array(np.round(sims[order], 6), pa.float64())})
+
+
+# ---- IVF ------------------------------------------------------------------
+
+def kmeans_fit(vectors: np.ndarray, n_clusters: int, n_iter: int = 8,
+               seed: int = 42) -> np.ndarray:
+    """Deterministic k-means (first-n init shuffled by seeded RNG)."""
+    rng = np.random.RandomState(seed)
+    idx = rng.permutation(len(vectors))[:n_clusters]
+    centers = vectors[np.sort(idx)].copy()
+    for _ in range(n_iter):
+        d = ((vectors[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_clusters):
+            members = vectors[assign == c]
+            if len(members):
+                centers[c] = members.mean(axis=0)
+    return centers
+
+
+class IvfAssign:
+    """map_batches: assign each vector to its nearest coarse centroid."""
+
+    def __init__(self, centers_ref):
+        import ray
+        self.centers = ray.get(centers_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _matrix(batch.column("embedding"))
+        d = ((mat[:, None, :] - self.centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(assign, pa.int32()))
+
+
+class IvfProbeTopK:
+    """map_batches over bucket-pruned rows: exact cosine within probed
+    buckets only."""
+
+    def __init__(self, queries_ref, probe_buckets_ref, k: int):
+        import ray
+        q = ray.get(queries_ref)
+        self.query_ids = q["ids"]
+        self.qmat = normalize(np.asarray(q["vecs"], dtype=np.float64))
+        self.probes = ray.get(probe_buckets_ref)  # query_id -> set of buckets
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist())
+        buckets = np.asarray(batch.column("bucket").to_pylist())
+        mat = normalize(_matrix(batch.column("embedding")))
+        sims = np.round(self.qmat @ mat.T, 6)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            probe = self.probes[int(qid)]
+            mask = (ids != qid) & np.isin(buckets, list(probe))
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            vals = sims[qi][cand]
+            take = min(self.k, len(cand))
+            part = cand[np.argpartition(-vals, take - 1)[:take]]
+            for i in part:
+                out_q.append(int(qid))
+                out_n.append(int(ids[i]))
+                out_s.append(float(sims[qi][i]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})

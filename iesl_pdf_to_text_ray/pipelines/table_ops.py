@@ -1,0 +1,284 @@
+"""Query implementations over the test-data tables (documents, embeddings,
+events, TPC-H-ish).  One function per operator; each takes ``sf_dir`` and
+returns a Dataset / pyarrow Table.  Column names line up with the SQL
+oracles in ``__ray_entry__.oracle_sql`` exactly.
+
+Scale disciplines used throughout: column pruning at the read, partial
+(per-batch) aggregation before every groupby, small-side broadcast via
+ray.put instead of shuffle joins, bucketed candidate generation for
+dedup/ANN (never all-pairs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import ann as annf
+from ..functions import dedup as dd
+from ..functions import textops as tx
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+# ---------------------------------------------------------------- documents
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partition on content hash, keep min doc_id."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        hashes = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        return pa.table({"text_hash": pa.array(hashes, pa.string()),
+                         "doc_id": batch.column("doc_id")})
+
+    from ray.data.aggregate import Count, Min
+    ds = ds.map_batches(hash_batch, batch_format="pyarrow")
+    ds = ds.groupby("text_hash").aggregate(Min("doc_id"), Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"text_hash": batch.column("text_hash"),
+                         "doc_id": batch.column("min(doc_id)"),
+                         "n_dups": batch.column("count()").cast(pa.int64())})
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+def lang_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    from ray.data.aggregate import Count, Mean, Sum
+    ds = ds.groupby("lang").aggregate(Count(), Sum("n_chars"), Mean("n_chars"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_docs": batch.column("count()").cast(pa.int64()),
+            "total_chars": batch.column("sum(n_chars)").cast(pa.int64()),
+            "avg_chars": pc.round(batch.column("mean(n_chars)"), 6)})
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+def top_longest(sf_dir: str, k: int = 20):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    ds = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+    return ds
+
+
+def token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(tx.token_count_batch, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+    ds = ds.groupby("lang").aggregate(Sum("token_count"), Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch.column("lang"),
+            "total_tokens": batch.column("sum(token_count)").cast(pa.int64()),
+            "n_docs": batch.column("count()").cast(pa.int64())})
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+def quality_scores(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(tx.quality_batch, batch_format="pyarrow")
+
+
+def doc_fingerprints(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(tx.fingerprint_batch, batch_format="pyarrow")
+
+
+def langid_predict(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return ds.map_batches(tx.langid_batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------- dedup
+
+def dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs: shingle->signature->band buckets->verify."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(dd.minhash_batch, batch_format="pyarrow")
+    ds = ds.map_batches(dd.band_explode_batch, batch_format="pyarrow")
+    ds = ds.groupby(["band", "band_hash"]).map_groups(
+        dd.bucket_pairs_group, batch_format="pyarrow")
+    # dedupe pairs discovered in multiple bands
+    from ray.data.aggregate import Max
+    ds = ds.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard_est"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": batch.column("doc_a"),
+                         "doc_b": batch.column("doc_b"),
+                         "jaccard_est": batch.column("max(jaccard_est)")})
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+def dedup_simhash(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(dd.simhash_batch, batch_format="pyarrow")
+
+
+def dedup_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard over LSH candidate buckets (never all-pairs)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bucket_batch(batch: pa.Table) -> pa.Table:
+        # candidate bucket = min shingle hash (cheap recall-oriented LSH)
+        texts = batch.column("text").to_pylist()
+        buckets = []
+        for t in texts:
+            sh = dd._shingles(t or "")
+            buckets.append(int(sh.min() % np.uint64(1 << 31)))
+        return batch.append_column("bucket",
+                                   pa.array(buckets, pa.int64()))
+
+    ds = ds.map_batches(bucket_batch, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(dd.exact_jaccard_pairs_group,
+                                           batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------- ANN
+
+def _load_queries(sf_dir: str, n_queries: int):
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    mask = np.asarray(t.column("vec_id").to_pylist()) < n_queries
+    ids = np.asarray(t.column("vec_id").to_pylist())[mask]
+    vecs = np.asarray([v for v, m in zip(t.column("embedding").to_pylist(),
+                                         mask) if m], dtype=np.float64)
+    order = np.argsort(ids)
+    return {"ids": ids[order].tolist(), "vecs": vecs[order]}
+
+
+def ann_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 10):
+    import ray
+    queries_ref = ray.put(_load_queries(sf_dir, n_queries))
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(annf.BruteForcePartialTopK,
+                        fn_constructor_args=(queries_ref, k),
+                        batch_format="pyarrow", batch_size=512,
+                        concurrency=(1, 4))
+    import functools
+    return ds.groupby("query_id").map_groups(
+        functools.partial(annf.merge_topk_group, k=k),
+        batch_format="pyarrow")
+
+
+def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10,
+            n_clusters: int = 16, n_probe: int = 4):
+    """IVF scale path: coarse k-means buckets + probe-limited exact search."""
+    import pyarrow.parquet as pq
+    import ray
+    # train the coarse quantizer on a bounded sample (driver-side, small)
+    sample = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["embedding"]).column("embedding") \
+        .to_pylist()[:2048]
+    centers = annf.kmeans_fit(np.asarray(sample, dtype=np.float64),
+                              n_clusters)
+    centers_ref = ray.put(centers)
+    q = _load_queries(sf_dir, n_queries)
+    # probe sets per query: nearest n_probe centroids
+    d = ((q["vecs"][:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    probes = {int(qid): set(np.argsort(d[i])[:n_probe].tolist())
+              for i, qid in enumerate(q["ids"])}
+    queries_ref = ray.put(q)
+    probes_ref = ray.put(probes)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(annf.IvfAssign, fn_constructor_args=(centers_ref,),
+                        batch_format="pyarrow", batch_size=512,
+                        concurrency=(1, 4))
+    ds = ds.map_batches(annf.IvfProbeTopK,
+                        fn_constructor_args=(queries_ref, probes_ref, k),
+                        batch_format="pyarrow", batch_size=512,
+                        concurrency=(1, 4))
+    import functools
+    return ds.groupby("query_id").map_groups(
+        functools.partial(annf.merge_topk_group, k=k),
+        batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ events
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate with per-batch pre-aggregation (combiner)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial_agg(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["window_start"] = df["ts"].dt.floor("h").dt.strftime(
+            "%Y-%m-%d %H:%M:%S")
+        g = df.groupby(["window_start", "event_type"], as_index=False).agg(
+            part_n=("value", "size"), part_sum=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    ds = ds.map_batches(partial_agg, batch_format="pyarrow")
+    ds = ds.groupby(["window_start", "event_type"]).aggregate(
+        Sum("part_n"), Sum("part_sum"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "window_start": batch.column("window_start"),
+            "event_type": batch.column("event_type"),
+            "n_events": batch.column("sum(part_n)").cast(pa.int64()),
+            "sum_value": pc.round(batch.column("sum(part_sum)"), 6)})
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------- TPC-H
+
+def revenue_by_nation(sf_dir: str):
+    """Broadcast join (orders x customer x nation) + partial aggregation.
+
+    customer/nation are the small sides: shipped to every task once via
+    ray.put, never reshuffled; orders streams through map_batches with a
+    per-batch combiner before the final 25-group reduction.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nation_names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                            nation.column("n_name").to_pylist()))
+    cust_nation = {c: nation_names.get(n)
+                   for c, n in zip(cust.column("c_custkey").to_pylist(),
+                                   cust.column("c_nationkey").to_pylist())}
+    lookup_ref = ray.put(cust_nation)
+
+    class JoinAgg:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["nation"] = df["o_custkey"].map(self.lookup)
+            g = df.groupby("nation", as_index=False).agg(
+                part_n=("o_totalprice", "size"),
+                part_rev=("o_totalprice", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=(1, 4))
+    from ray.data.aggregate import Sum
+    ds = ds.groupby("nation").aggregate(Sum("part_n"), Sum("part_rev"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "nation": batch.column("nation"),
+            "n_orders": batch.column("sum(part_n)").cast(pa.int64()),
+            "revenue": pc.round(batch.column("sum(part_rev)"), 2)})
+    return ds.map_batches(rename, batch_format="pyarrow")
