@@ -1,0 +1,130 @@
+"""Fast content-stream scanner.
+
+Content streams are ~hundreds of thousands of tiny tokens per page; the
+general object Parser's recursive two-token lookahead is wasted there (no
+indirect references can occur).  This scanner does one compiled-regex pass
+per token with direct float conversion, falling back to the Lexer's string
+readers only for ``(...)`` / ``<...>`` literals and to the full Parser for
+inline dictionaries (BDC property lists).
+
+Yields (operands, operator, op_pos) tuples; arrays are built inline.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .lexer import Lexer
+from .objects import Name
+
+_TOKEN_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"          # whitespace/comments
+    rb"(?:"
+    rb"(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
+    rb"|/(?P<name>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"
+    rb"|(?P<delim><<|>>|[()\[\]{}<>])"
+    rb")")
+
+_NAME_ESC = re.compile(rb"#([0-9A-Fa-f]{2})")
+
+
+def _decode_name(raw: bytes) -> str:
+    if b"#" in raw:
+        raw = _NAME_ESC.sub(lambda m: bytes([int(m.group(1), 16)]), raw)
+    return raw.decode("latin1")
+
+
+class ContentScanner:
+    """Iterate (operands, operator, operator_pos) over a content stream."""
+
+    __slots__ = ("data", "pos", "end")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.end = len(data)
+
+    def __iter__(self):
+        data = self.data
+        end = self.end
+        match = _TOKEN_RE.match
+        stack: list = []
+        arrays: list[list] = []        # nested array frames
+        cur = stack
+
+        def read_string(pos):
+            # Lexer read helpers expect pos ON the opening delimiter
+            lx = Lexer(data, pos - 1)
+            s = lx._read_string()
+            return s, lx.pos
+
+        def read_hex(pos):
+            lx = Lexer(data, pos - 1)
+            s = lx._read_hex_string()
+            return s, lx.pos
+
+        pos = self.pos
+        while pos < end:
+            m = match(data, pos)
+            if m is None or m.end() == m.start():
+                pos += 1
+                continue
+            pos = m.end()
+            g = m.lastgroup
+            if g == "num":
+                raw = m.group("num")
+                try:
+                    v = float(raw)
+                except ValueError:
+                    v = 0.0
+                cur.append(v)
+                continue
+            if g == "name":
+                cur.append(Name(_decode_name(m.group("name"))))
+                continue
+            if g == "op":
+                op = m.group("op").decode("latin1")
+                if op in ("true", "false", "null"):
+                    cur.append(op == "true")
+                    continue
+                operands = stack
+                self.pos = pos
+                yield operands, op, m.start("op")
+                pos = self.pos       # handler may have advanced us (BI)
+                stack = []
+                arrays = []
+                cur = stack
+                continue
+            d = m.group("delim")
+            if d == b"(":
+                # fast path: string without escapes or nested parens
+                j = data.find(b")", pos)
+                if j >= 0:
+                    seg = data[pos:j]
+                    if b"\\" not in seg and b"(" not in seg:
+                        cur.append(seg)
+                        pos = j + 1
+                        continue
+                s, pos = read_string(pos)
+                cur.append(s)
+            elif d == b"<":
+                s, pos = read_hex(pos)
+                cur.append(s)
+            elif d == b"[":
+                arrays.append(cur)
+                new: list = []
+                cur.append(new)
+                cur = new
+            elif d == b"]":
+                if arrays:
+                    cur = arrays.pop()
+            elif d == b"<<":
+                # rare inline dict (BDC property list): full parse
+                from .parser import Parser
+                p = Parser(data, m.start(), xref=None)
+                obj = p.get_obj(allow_streams=False)
+                cur.append(obj)
+                pos = p.pos1   # start of the parser's lookahead token
+            # '>>', '{', '}', stray ')'/'>': ignore
+        # trailing operands without operator are dropped (malformed tail)

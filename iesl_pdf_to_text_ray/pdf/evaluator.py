@@ -15,6 +15,7 @@ from __future__ import annotations
 import re
 
 from ..functions.span_builder import SpanBuilder
+from .content_scanner import ContentScanner
 from .fonts import TranslatedFont, translate_font
 from .lexer import EOF
 from .objects import Name, Ref, Stream
@@ -92,24 +93,12 @@ class PageInterpreter:
         xref = self.xref
         fetch = xref.fetch_if_ref
         b = self.builder
-        parser = Parser(content, 0, xref=None)
-        stack: list = []
+        scanner = ContentScanner(content)
 
         def emit():
             self.in_path = False
 
-        while True:
-            pos_before = parser.pos1
-            obj = parser.get_obj(allow_streams=False)
-            if obj is EOF:
-                break
-            if isinstance(obj, Name) or not isinstance(obj, str):
-                stack.append(obj)
-                if len(stack) > 64:
-                    del stack[:-16]
-                continue
-            op = obj
-            args = stack
+        for args, op, op_pos in scanner:
             try:
                 if op == "Tj":
                     emit()
@@ -220,7 +209,7 @@ class PageInterpreter:
                     self._do_xobject(args[-1] if args else None, resources)
                 elif op == "BI":
                     emit()
-                    parser = self._inline_image(content, parser, resources)
+                    scanner.pos = self._inline_image(content, scanner.pos)
                 elif op == "gs":
                     emit()
                     self._set_gstate(args[-1] if args else None, resources)
@@ -237,7 +226,6 @@ class PageInterpreter:
                 # per-op robustness: a malformed operator must not kill the
                 # page (reference tolerates similar via warn + continue)
                 pass
-            stack = []
 
     # -- helpers -----------------------------------------------------------
 
@@ -391,27 +379,24 @@ class PageInterpreter:
 
     # -- inline images -----------------------------------------------------
 
-    def _inline_image(self, content: bytes, parser: Parser,
-                      resources: dict) -> Parser:
-        """Parse BI ... ID <data> EI; emit media op; return resynced parser."""
-        # parse the params dict token-by-token from the current parser
+    def _inline_image(self, content: bytes, start: int) -> int:
+        """Parse BI params + data at ``start``; emit media op; return the
+        position just past EI."""
+        inner = ContentScanner(content)
+        inner.pos = start
         d: dict = {}
-        key = None
-        while True:
-            tok = parser.get_obj(allow_streams=False)
-            if tok is EOF:
-                return parser
-            if tok == "ID":
-                break
-            if isinstance(tok, Name) and key is None:
-                key = str(tok)
-            else:
-                if key is not None:
-                    d[key] = tok
-                    key = None
-        # binary data begins one whitespace byte after 'ID' (whose start
-        # position was recorded by the parser when the token was shifted)
-        p = parser.last_pos + 2
+        id_pos = None
+        for operands, op, op_pos in inner:
+            if op == "ID":
+                for i in range(0, len(operands) - 1, 2):
+                    k = operands[i]
+                    if isinstance(k, Name):
+                        d[str(k)] = operands[i + 1]
+                id_pos = op_pos
+            break
+        if id_pos is None:
+            return len(content)
+        p = id_pos + 2
         if p < len(content) and content[p] in b" \r\n\t":
             p += 1
         length = d.get("L") or d.get("Length")
@@ -447,8 +432,7 @@ class PageInterpreter:
             self.builder.paint_image_mask(ref)
         else:
             self.builder.paint_inline_image(ref)
-        # resync main parser after EI
-        return Parser(content, end, xref=None)
+        return end
 
 
 def _num(v) -> float:
