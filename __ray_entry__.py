@@ -49,6 +49,32 @@ def extract_corpus_query(sf_dir: str):
     return ds.map_batches(summarize, batch_format="pyarrow")
 
 
+def pdf_metadata_query(sf_dir: str):
+    """Metadata extraction over the PDF corpus (getinfo.js parity)."""
+    import pyarrow as pa
+    import ray.data
+    from iesl_pdf_to_text_ray.pdf.extractor import extract_metadata
+
+    def meta_batch(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, data in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("pdf_bytes").to_pylist()):
+            try:
+                m = extract_metadata(data)
+            except Exception as e:
+                m = {"n_pages": 0, "creator": None, "producer": None,
+                     "has_xmp_metadata": False}
+            rows.append({"doc_id": doc_id, "n_pages": m.get("n_pages", 0),
+                         "creator": m.get("creator") or "",
+                         "producer": m.get("producer") or "",
+                         "has_xmp": bool(m.get("has_xmp_metadata"))})
+        import pandas as pd
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    ds = ray.data.read_parquet(_corpus_dir())
+    return ds.map_batches(meta_batch, batch_format="pyarrow", batch_size=4)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: interleaved spans
     synthesis + normalization over the documents table, fused with the
@@ -79,6 +105,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_bruteforce": table_ops.ann_bruteforce,
         "ann_ivf": table_ops.ann_ivf,
+        "embedding_neardup": table_ops.embedding_neardup,
+        # multimodal plumbing (stub codec)
+        "media_features": table_ops.media_features,
+        "pdf_metadata": pdf_metadata_query,
         # streaming-ish / relational
         "events_hourly": table_ops.events_hourly,
         "revenue_by_nation": table_ops.revenue_by_nation,
@@ -141,6 +171,15 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY query_id
                     ORDER BY sim DESC, neighbor_id ASC) AS rk
                 FROM scored) WHERE rk <= 10
+        """,
+        "embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS sim
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
         """,
         "events_hourly": """
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,

@@ -34,3 +34,38 @@ def extract_spans(pdf_bytes: bytes,
 
 def count_pages(pdf_bytes: bytes) -> int:
     return len(PdfDocument(pdf_bytes).pages)
+
+
+def extract_metadata(pdf_bytes: bytes) -> dict:
+    """Document metadata (the reference's getinfo.js surface:
+    /root/reference/src/main/js/node/getinfo.js:26-49): Info dict fields +
+    page count; XMP presence flagged but not parsed."""
+    doc = PdfDocument(pdf_bytes)
+    xref = doc.xref
+    info = xref.fetch_if_ref(xref.trailer.get("Info")) or {}
+    out = {"n_pages": len(doc.pages)}
+    for key in ("Title", "Author", "Subject", "Keywords", "Creator",
+                "Producer", "CreationDate", "ModDate"):
+        v = info.get(key) if isinstance(info, dict) else None
+        v = xref.fetch_if_ref(v)
+        if isinstance(v, bytes):
+            try:
+                if v.startswith(b"\xfe\xff"):
+                    v = v[2:].decode("utf-16-be", "replace")
+                else:
+                    v = v.decode("latin1")
+            except Exception:
+                v = repr(v)
+        out[key.lower()] = v if isinstance(v, str) else None
+    root = xref.root
+    out["has_xmp_metadata"] = "Metadata" in root
+    return out
+
+
+def extract_plain_text(pdf_bytes: bytes) -> str:
+    """Plain-text rendition: text spans joined with single spaces (the
+    getinfo.js text dump joins getTextContent items with ' ';
+    /root/reference/src/main/js/node/getinfo.js:51-58).  Built on the
+    golden-validated span sequence rather than a second extraction path."""
+    spans = extract_spans(pdf_bytes)
+    return " ".join(s[1] for s in spans if s[0] == "text")

@@ -207,6 +207,68 @@ def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10,
         batch_format="pyarrow")
 
 
+def embedding_neardup(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-dup pairs (id_a < id_b, sim >= threshold).
+
+    The embedding matrix is broadcast once (ray.put) and every batch does
+    one vectorized matmul against it — O(n^2) work split row-block-wise,
+    never a shuffle join.  At 10^12-document scale the same stage runs
+    against IVF bucket neighborhoods (see ann_ivf) instead of the full
+    matrix; the kernel is unchanged.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = annf.normalize(np.asarray(t.column("embedding").to_pylist(),
+                                    dtype=np.float64))
+    all_ref = ray.put({"ids": ids, "mat": mat})
+
+    class PairFinder:
+        def __init__(self):
+            d = ray.get(all_ref)
+            self.all_ids = d["ids"]
+            self.all_mat = d["mat"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bids = np.asarray(batch.column("vec_id").to_pylist(),
+                              dtype=np.int64)
+            bmat = annf.normalize(np.asarray(
+                batch.column("embedding").to_pylist(), dtype=np.float64))
+            sims = np.round(bmat @ self.all_mat.T, 6)
+            rows_a, rows_b, out_s = [], [], []
+            for i in range(len(bids)):
+                mask = (sims[i] >= threshold) & (self.all_ids > bids[i])
+                for j in np.nonzero(mask)[0]:
+                    rows_a.append(int(bids[i]))
+                    rows_b.append(int(self.all_ids[j]))
+                    out_s.append(float(sims[i][j]))
+            return pa.table({"id_a": pa.array(rows_a, pa.int64()),
+                             "id_b": pa.array(rows_b, pa.int64()),
+                             "sim": pa.array(out_s, pa.float64())})
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ds.map_batches(PairFinder, batch_format="pyarrow",
+                          batch_size=512, concurrency=(1, 4))
+
+
+def media_features(sf_dir: str):
+    """Multimodal plumbing demo: synthesized media table -> actor-pool
+    decode/feature stage (stub codec; real schema + batch sizing)."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ..stages.media import DecodeImageStage, synthesize_media_table
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    table = synthesize_media_table(min(500, n_docs))
+    ds = ray.data.from_arrow(table)
+    ds = ds.map_batches(DecodeImageStage, batch_format="pyarrow",
+                        batch_size=32, concurrency=(1, 4))
+    return ds.select_columns(["media_id", "doc_id", "width", "height",
+                              "error"])
+
+
 # ------------------------------------------------------------------ events
 
 def events_hourly(sf_dir: str):
