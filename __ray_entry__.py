@@ -111,7 +111,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_metadata": pdf_metadata_query,
         # streaming-ish / relational
         "events_hourly": table_ops.events_hourly,
+        "events_sessionize": table_ops.events_sessionize,
         "revenue_by_nation": table_ops.revenue_by_nation,
+        "pricing_summary": table_ops.pricing_summary,
     }
 
 
@@ -187,6 +189,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess AS (
+              SELECT user_id, ts, value,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+              FROM marked)
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')
+                       AS session_start,
+                   round(sum(value), 6) AS sum_value
+            FROM sess GROUP BY user_id, session_idx
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "revenue_by_nation": """
             SELECT n.n_name AS nation,

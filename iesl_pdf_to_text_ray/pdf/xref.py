@@ -162,8 +162,32 @@ class XRef:
             num, gen = int(m.group(1)), int(m.group(2))
             # later definitions win (incremental updates appear later)
             self.entries[num] = (m.start(), gen)
+        # index compressed objects: any recovered /Type/ObjStm stream gets
+        # its members added (real corpora hide the catalog inside one)
+        for num in list(self.entries):
+            entry = self.entries.get(num)
+            if not entry or entry[0] == "objstm":
+                continue
+            try:
+                obj = self._fetch_at(entry[0], num)
+            except Exception:
+                continue
+            if isinstance(obj, Stream) and \
+                    str(obj.dict.get("Type") or "") == "ObjStm":
+                try:
+                    n = int(self.fetch_if_ref(obj.dict.get("N")) or 0)
+                    from .filters import decode_stream
+                    body = decode_stream(obj, self)
+                    hp = Parser(body, 0, xref=self)
+                    for idx in range(n):
+                        onum = hp.get_obj()
+                        hp.get_obj()  # offset
+                        if isinstance(onum, int) and onum not in self.entries:
+                            self.entries[onum] = ("objstm", num, idx)
+                except Exception:
+                    continue
         if "Root" not in self.trailer:
-            # find a catalog
+            # find an uncompressed catalog
             for m in re.finditer(rb"/Type\s*/Catalog", data):
                 # locate enclosing object header
                 head = data.rfind(b" obj", 0, m.start())
@@ -186,6 +210,18 @@ class XRef:
                         self.trailer.update(tr)
                 except Exception:
                     pass
+        if "Root" not in self.trailer:
+            # last resort: a catalog hidden in a recovered object stream
+            for num, entry in list(self.entries.items()):
+                if entry and entry[0] == "objstm":
+                    try:
+                        obj = self.fetch(Ref(num, 0))
+                    except Exception:
+                        continue
+                    if isinstance(obj, dict) and \
+                            str(obj.get("Type") or "") == "Catalog":
+                        self.trailer["Root"] = Ref(num, 0)
+                        break
 
     # -- fetching ---------------------------------------------------------
 

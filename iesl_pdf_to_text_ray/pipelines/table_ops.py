@@ -298,6 +298,66 @@ def events_hourly(sf_dir: str):
     return ds.map_batches(rename, batch_format="pyarrow")
 
 
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: a new session starts when the gap from the
+    previous event exceeds ``gap_minutes``.  groupby(user_id).map_groups
+    with an in-group sort — the canonical stateful windowed aggregate the
+    Dataset API lacks natively (SURVEY.md §2 custom-operator pattern (a))."""
+    import pandas as pd
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def sessions(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values("ts")
+        gap = df["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        df["session_idx"] = gap.cumsum().astype("int64")
+        g = df.groupby("session_idx")
+        out = pd.DataFrame({
+            "user_id": df["user_id"].iloc[0],
+            "session_idx": g.size().index,
+            "n_events": g.size().astype("int64").values,
+            "session_start": g["ts"].min().dt.strftime(
+                "%Y-%m-%d %H:%M:%S.%f").values,
+            "sum_value": np.round(g["value"].sum().values, 6)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-style aggregate with per-batch combiners: vectorized pandas
+    partials -> tiny final groupby (the partial/combiner discipline that
+    keeps the shuffle O(groups), not O(rows))."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            part_qty=("l_quantity", "sum"),
+            part_base=("l_extendedprice", "sum"),
+            part_disc=("disc_price", "sum"),
+            part_n=("l_quantity", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    ds = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("part_qty"), Sum("part_base"), Sum("part_disc"), Sum("part_n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": pc.round(batch.column("sum(part_qty)"), 2),
+            "sum_base_price": pc.round(batch.column("sum(part_base)"), 2),
+            "sum_disc_price": pc.round(batch.column("sum(part_disc)"), 2),
+            "count_order": batch.column("sum(part_n)").cast(pa.int64())})
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------- TPC-H
 
 def revenue_by_nation(sf_dir: str):
