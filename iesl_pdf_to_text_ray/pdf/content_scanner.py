@@ -21,8 +21,10 @@ _TOKEN_RE = re.compile(
     rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"          # whitespace/comments
     rb"(?:"
     rb"(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
+    rb"|\((?P<litstr>[^()\\]*)\)"                   # escape-free string
     rb"|/(?P<name>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
     rb"|(?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"
+    rb"|<(?P<hexstr>[0-9A-Fa-f\x00\t\n\x0c\r ]*)>"
     rb"|(?P<delim><<|>>|[()\[\]{}<>])"
     rb")")
 
@@ -79,6 +81,21 @@ class ContentScanner:
                 except ValueError:
                     v = 0.0
                 cur.append(v)
+                continue
+            if g == "litstr":
+                cur.append(m.group("litstr"))
+                continue
+            if g == "hexstr":
+                h = m.group("hexstr")
+                if b" " in h or b"\n" in h or b"\r" in h or b"\t" in h:
+                    h = bytes(c for c in h
+                              if c not in (0, 9, 10, 12, 13, 32))
+                if len(h) % 2:
+                    h += b"0"
+                try:
+                    cur.append(bytes.fromhex(h.decode("ascii")))
+                except ValueError:
+                    cur.append(b"")
                 continue
             if g == "name":
                 cur.append(Name(_decode_name(m.group("name"))))

@@ -87,7 +87,7 @@ class TranslatedFont:
 
     __slots__ = ("name", "widths", "default_width", "to_unicode",
                  "font_matrix", "is_type3", "composite", "cmap",
-                 "vertical", "glyph_cache")
+                 "vertical", "glyph_cache", "_byte_table")
 
     def __init__(self):
         self.name = ""
@@ -100,6 +100,7 @@ class TranslatedFont:
         self.cmap: CMap | None = None
         self.vertical = False
         self.glyph_cache: dict = {}
+        self._byte_table: list | None = None
 
     # glyph stream: list of (unicode, width) tuples for a byte string
     def chars_to_glyphs(self, s: bytes) -> list[tuple[str, float]]:
@@ -122,12 +123,16 @@ class TranslatedFont:
                     uni = chr(code) if code <= 0x10FFFF else "�"
                 out.append((uni, float(w)))
         else:
-            for c in s:
-                w = self.widths.get(c, self.default_width)
-                uni = self.to_unicode.get(c)
-                if uni is None:
-                    uni = chr(c)
-                out.append((uni, float(w)))
+            table = self._byte_table
+            if table is None:
+                # per-charcode tuple table, built once per font
+                dw = self.default_width
+                tu = self.to_unicode
+                ws = self.widths
+                table = self._byte_table = [
+                    (tu.get(c) or chr(c), float(ws.get(c, dw)))
+                    for c in range(256)]
+            out = [table[c] for c in s]
         cache[s] = out
         return out
 
