@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALING_DOCS = 2048
+SCALING_DOCS = 4096
 SCALE_N = int(os.environ.get("GRAFT_SCALE_N", "4"))
 
 
@@ -111,7 +111,7 @@ def main():
 
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
-    extract = run_extract(NUM_CPUS, n_docs=8 * NUM_CPUS)
+    extract = run_extract(NUM_CPUS, n_docs=32 * NUM_CPUS)
     queries = run_queries(SF_DIR)
     total = extract["sec"] + sum(v for v in queries.values()
                                  if isinstance(v, (int, float)))
