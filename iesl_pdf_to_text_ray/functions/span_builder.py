@@ -39,7 +39,7 @@ class _State:
         "font_size", "font_matrix0",
         "char_spacing", "word_spacing", "text_hscale", "font_direction",
         "leading", "pending_clip",
-        "tspan", "txt_element", "txtgrp", "element",
+        "tspan", "txt_element", "txtgrp", "element", "tm_scale",
     )
 
     def __init__(self):
@@ -55,6 +55,7 @@ class _State:
         self.font_direction = 1.0
         self.leading = 0.0
         self.pending_clip = False
+        self.tm_scale = (1.0, 0.0, 0.0, 1.0)
         self.tspan: Element | None = None
         self.txt_element: Element | None = None
         self.txtgrp: Element | None = None
@@ -220,6 +221,9 @@ class SpanBuilder:
         if emitted_glyph:
             # §5.3 rule 4: only runs that placed at least one glyph move the
             # pen reference; number-only and empty runs leave it unchanged.
+            # (The four residual C04 divergences involve zero-width symbolic
+            # Type3 glyphs; no consistent refinement has been found that
+            # keeps the other three documents exact - see tests/test_golden.)
             self.last_end_x = cur.x
 
         cur.txt_element.append_child(tspan)
