@@ -11,9 +11,7 @@ import hashlib
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 _TOKEN_RE = re.compile(r"\S+")
 # BPE-ish subword splitter: words, numbers, punctuation runs

@@ -17,9 +17,7 @@ import re
 from ..functions.span_builder import SpanBuilder
 from .content_scanner import ContentScanner
 from .fonts import TranslatedFont, translate_font
-from .lexer import EOF
 from .objects import Name, Ref, Stream
-from .parser import Parser
 
 # ops the reference evaluator consumes without emitting anything: they do
 # not interrupt a constructPath merge run

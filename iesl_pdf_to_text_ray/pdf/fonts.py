@@ -21,7 +21,7 @@ from functools import lru_cache
 
 from .cmap import CMap, make_to_unicode, parse_cmap
 from .filters import decode_stream
-from .objects import Name, Ref, Stream
+from .objects import Name, Stream
 
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 

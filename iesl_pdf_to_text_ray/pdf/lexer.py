@@ -17,10 +17,6 @@ for _b in WHITESPACE + DELIMITERS:
     _IS_REGULAR[_b] = 0
 
 
-class Token:
-    __slots__ = ()
-
-
 EOF = object()
 
 

@@ -11,7 +11,7 @@ Python, not translated.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 
 class Name(str):

@@ -11,7 +11,7 @@ import re
 
 from .filters import decode_stream
 from .lexer import EOF
-from .objects import Name, PdfError, Ref, Stream
+from .objects import PdfError, Ref, Stream
 from .parser import Parser
 
 _STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")

@@ -20,7 +20,7 @@ import os
 
 import pyarrow as pa
 
-from ..stages.extract import (ExtractDocs, ExtractShards, OUT_SCHEMA,
+from ..stages.extract import (ExtractDocs, ExtractShards,
                               reassemble_groups, spans_digest, split_tasks)
 from ..state import lineage
 
