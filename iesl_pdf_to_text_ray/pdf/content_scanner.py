@@ -73,20 +73,19 @@ class ContentScanner:
                 pos += 1
                 continue
             pos = m.end()
-            g = m.lastgroup
-            if g == "num":
-                raw = m.group("num")
+            g = m.lastindex  # 1=num 2=litstr 3=name 4=op 5=hexstr 6=delim
+            if g == 1:
                 try:
-                    v = float(raw)
+                    v = float(m.group(1))
                 except ValueError:
                     v = 0.0
                 cur.append(v)
                 continue
-            if g == "litstr":
-                cur.append(m.group("litstr"))
+            if g == 2:
+                cur.append(m.group(2))
                 continue
-            if g == "hexstr":
-                h = m.group("hexstr")
+            if g == 5:
+                h = m.group(5)
                 if b" " in h or b"\n" in h or b"\r" in h or b"\t" in h:
                     h = bytes(c for c in h
                               if c not in (0, 9, 10, 12, 13, 32))
@@ -97,23 +96,23 @@ class ContentScanner:
                 except ValueError:
                     cur.append(b"")
                 continue
-            if g == "name":
-                cur.append(Name(_decode_name(m.group("name"))))
+            if g == 3:
+                cur.append(Name(_decode_name(m.group(3))))
                 continue
-            if g == "op":
-                op = m.group("op").decode("latin1")
+            if g == 4:
+                op = m.group(4).decode("latin1")
                 if op in ("true", "false", "null"):
                     cur.append(op == "true")
                     continue
                 operands = stack
                 self.pos = pos
-                yield operands, op, m.start("op")
+                yield operands, op, m.start(4)
                 pos = self.pos       # handler may have advanced us (BI)
                 stack = []
                 arrays = []
                 cur = stack
                 continue
-            d = m.group("delim")
+            d = m.group(6)
             if d == b"(":
                 # fast path: string without escapes or nested parens
                 j = data.find(b")", pos)
