@@ -75,6 +75,37 @@ def pdf_metadata_query(sf_dir: str):
     return ds.map_batches(meta_batch, batch_format="pyarrow", batch_size=4)
 
 
+def extract_corpus_split_query(sf_dir: str):
+    """Same extraction through the page-level skew-split path (split ->
+    shard extract -> groupby(doc_id) reassembly); must agree with
+    extract_corpus row-for-row."""
+    import pyarrow as pa
+    import iesl_pdf_to_text_ray.stages.extract as ex
+    from iesl_pdf_to_text_ray.pipelines.extract_pipeline import extract_dataset
+    from iesl_pdf_to_text_ray.stages.extract import spans_digest
+    old = ex.SPLIT_PAGE_THRESHOLD
+    ex.SPLIT_PAGE_THRESHOLD = 4   # force sharding for the corpus docs
+    try:
+        ds = extract_dataset(_corpus_dir(), concurrency=(1, 4), batch_size=4,
+                             split_pages=True)
+
+        def summarize(batch: pa.Table) -> pa.Table:
+            rows = batch.to_pylist()
+            return pa.table({
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+                "n_spans": pa.array([r["n_spans"] for r in rows], pa.int32()),
+                "n_text": pa.array([r["n_text"] for r in rows], pa.int32()),
+                "n_media": pa.array([r["n_media"] for r in rows], pa.int32()),
+                "digest": pa.array([spans_digest(r["spans"]) for r in rows],
+                                   pa.string())})
+        # materialize before restoring the threshold (lazy execution)
+        out = ds.map_batches(summarize, batch_format="pyarrow").take_all()
+    finally:
+        ex.SPLIT_PAGE_THRESHOLD = old
+    import pandas as pd
+    return pd.DataFrame(out)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: interleaved spans
     synthesis + normalization over the documents table, fused with the
@@ -89,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (non-SQL; golden-verified via pytest)
         "extract_corpus": extract_corpus_query,
+        "extract_corpus_split": extract_corpus_split_query,
         "spans_normalize": spans_ops.spans_pipeline,
         # dedup family
         "dedup_exact": table_ops.dedup_exact,
