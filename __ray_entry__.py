@@ -189,6 +189,117 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": """
             SELECT doc_id, md5(text) AS fp FROM documents
         """,
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.s, b.s))::DOUBLE AS inter,
+                     (len(a.s) + len(b.s)
+                      - len(list_intersect(a.s, b.s)))::DOUBLE AS un
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b, round(inter / un, 6) AS jaccard
+            FROM pairs WHERE inter / un >= 0.4
+        """,
+        "dedup_simhash": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+              FROM documents),
+            th AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv
+              FROM toks),
+            bits AS (
+              SELECT doc_id, b AS bit,
+                     sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bb
+              GROUP BY doc_id, b),
+            sim AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 AND bit >= 32
+                         THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS hi,
+                     sum(CASE WHEN v > 0 AND bit < 32
+                         THEN (1::BIGINT << bit) ELSE 0 END) AS lo
+              FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   lpad(lower(hex(hi)), 8, '0')
+                     || lpad(lower(hex(lo)), 8, '0') AS simhash
+            FROM sim
+        """,
+        "langid_predict": """
+            WITH scored AS (
+              SELECT doc_id, lang,
+                length(regexp_replace(substr(text, 1, 200),
+                       '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 5 AS cjk,
+                list_distinct(regexp_extract_all(lower(text),
+                                                 '\\S+')[1:200]) AS tk
+              FROM documents),
+            s AS (
+              SELECT doc_id, lang, cjk,
+                len(list_intersect(tk, ['the','a','of','and','to','in','is',
+                                        'that','it','for'])) AS s_en,
+                len(list_intersect(tk, ['der','die','das','und','ist',
+                                        'nicht','ein','mit','zu'])) AS s_de,
+                len(list_intersect(tk, ['le','la','les','et','est','un',
+                                        'une','des','du','que'])) AS s_fr,
+                len(list_intersect(tk, ['el','la','los','las','es','un',
+                                        'una','que','de','y'])) AS s_es
+              FROM scored)
+            SELECT doc_id,
+                   CASE WHEN cjk THEN 'zh'
+                        WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+                        WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+                        WHEN s_de > s_en THEN 'de'
+                        ELSE 'en' END AS lang_pred,
+                   lang AS lang_true
+            FROM s
+        """,
+        "spans_normalize": """
+            WITH base AS (
+              SELECT doc_id::VARCHAR AS doc_id,
+                     len(regexp_extract_all(text, '\\S+')) AS nt
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, unnest(generate_series(0, (nt + 4) // 5 - 1))
+                         AS c
+              FROM base WHERE nt > 0),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id || ':' || c), 1, 8))::UBIGINT
+                         AS hv
+              FROM chunks),
+            agg AS (
+              SELECT doc_id,
+                     count(*)::INT AS n_chunks,
+                     sum(CASE WHEN hv % 12 = 0 THEN 1 ELSE 0 END)::INT
+                         AS n_media,
+                     sum(CASE WHEN hv % 17 = 0 AND hv % 5 = 0
+                         THEN 1 ELSE 0 END)::INT AS n_drop
+              FROM h GROUP BY doc_id)
+            SELECT b.doc_id,
+                   coalesce(a.n_chunks + a.n_media, 0)::INT AS n_spans_in,
+                   coalesce(a.n_chunks + a.n_media - a.n_drop, 0)::INT
+                       AS n_spans_out,
+                   coalesce(a.n_media, 0)::INT AS n_media
+            FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        "media_features": """
+            SELECT 'm-' || doc_id AS media_id,
+                   doc_id::VARCHAR AS doc_id,
+                   (64 + ('0x' || substr(md5(text), 1, 2))::INT)::INT
+                       AS width,
+                   (64 + ('0x' || substr(md5(text), 3, 2))::INT)::INT
+                       AS height,
+                   '' AS error
+            FROM documents
+        """,
         "ann_bruteforce": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings
                        WHERE vec_id < 8),

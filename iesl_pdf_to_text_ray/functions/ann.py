@@ -52,7 +52,10 @@ class BruteForcePartialTopK:
                 continue
             vals = row[cand_idx]
             take = min(k, len(cand_idx))
-            part = cand_idx[np.argpartition(-vals, take - 1)[:take]]
+            # rank with the final ordering (sim DESC, neighbor_id ASC) so
+            # exact ties at the k-th value keep the smaller id — matching
+            # the oracle's ORDER BY before candidates are discarded
+            part = cand_idx[np.lexsort((ids[cand_idx], -vals))[:take]]
             for i in part:
                 out_q.append(int(qid))
                 out_n.append(int(ids[i]))
@@ -132,7 +135,7 @@ class IvfProbeTopK:
                 continue
             vals = sims[qi][cand]
             take = min(self.k, len(cand))
-            part = cand[np.argpartition(-vals, take - 1)[:take]]
+            part = cand[np.lexsort((ids[cand], -vals))[:take]]
             for i in part:
                 out_q.append(int(qid))
                 out_n.append(int(ids[i]))

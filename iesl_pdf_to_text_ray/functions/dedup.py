@@ -30,21 +30,49 @@ def _perm_params(n_perm: int = N_PERM, seed: int = 42):
 _PERM_A, _PERM_B = _perm_params()
 
 
-def _shingles(text: str, k: int = SHINGLE_K) -> np.ndarray:
+# odd 64-bit mix constants (splitmix64 / xxhash family, public domain)
+_MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                 0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                 0x85EBCA77C2B2AE63], dtype=np.uint64)
+_MASK61 = np.uint64((1 << 61) - 1)
+
+
+def _token_hashes(toks: list[str], cache: dict) -> np.ndarray:
+    """64-bit token hashes; blake2b computed once per *unique* token
+    (corpus vocabularies are tiny relative to token counts)."""
+    out = np.empty(len(toks), dtype=np.uint64)
+    get = cache.get
+    for i, tok in enumerate(toks):
+        h = get(tok)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            cache[tok] = h
+        out[i] = h
+    return out
+
+
+def _shingles(text: str, k: int = SHINGLE_K, cache: dict | None = None
+              ) -> np.ndarray:
+    """k-gram shingle hashes: per-token 64-bit hashes combined with a
+    vectorized position-weighted mix (wraparound uint64 arithmetic) —
+    no per-shingle digest calls in the hot loop."""
     toks = text.split()
     if len(toks) < k:
         toks = toks + [""] * (k - len(toks))
-    hashes = np.fromiter(
-        (int.from_bytes(
-            hashlib.blake2b(" ".join(toks[i:i + k]).encode(), digest_size=8)
-            .digest(), "big") & ((1 << 61) - 1)
-         for i in range(max(1, len(toks) - k + 1))),
-        dtype=np.uint64)
-    return hashes
+    th = _token_hashes(toks, cache if cache is not None else {})
+    n = max(1, len(toks) - k + 1)
+    acc = th[0:n] * _MIX[0]
+    for j in range(1, k):
+        acc = acc + th[j:n + j] * _MIX[j % len(_MIX)]
+    # finalizer so nearby mixes decorrelate, then fold into 61 bits
+    acc = acc ^ (acc >> np.uint64(29))
+    acc = acc * _MIX[4]
+    return (acc ^ (acc >> np.uint64(32))) & _MASK61
 
 
-def minhash_signature(text: str) -> np.ndarray:
-    sh = _shingles(text)
+def minhash_signature(text: str, cache: dict | None = None) -> np.ndarray:
+    sh = _shingles(text, cache=cache)
     # (a*x + b) mod p for all perms x all shingles, take min per perm
     x = sh[None, :].astype(np.uint64)
     vals = (_PERM_A[:, None] * x + _PERM_B[:, None]) % np.uint64(_MERSENNE)
@@ -54,30 +82,37 @@ def minhash_signature(text: str) -> np.ndarray:
 def minhash_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, sig: list<uint64-as-int64>)"""
     texts = batch.column("text").to_pylist()
-    sigs = [minhash_signature(t or "").astype(np.int64).tolist()
+    cache: dict = {}   # token-hash cache shared across the batch
+    sigs = [minhash_signature(t or "", cache).astype(np.int64).tolist()
             for t in texts]
     return pa.table({"doc_id": batch.column("doc_id"),
                      "sig": pa.array(sigs, pa.list_(pa.int64()))})
 
 
 def band_explode_batch(batch: pa.Table) -> pa.Table:
-    """(band, band_hash, doc_id, sig) — one row per band per doc."""
-    doc_ids = batch.column("doc_id").to_pylist()
+    """(band, band_hash, doc_id, sig) — one row per band per doc.
+    Band hashes are computed for the whole batch in one vectorized mix."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"band": pa.array([], pa.int32()),
+                         "band_hash": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], batch.column("doc_id").type),
+                         "sig": pa.array([], pa.list_(pa.int64()))})
     sigs = batch.column("sig").to_pylist()
-    out_band, out_hash, out_doc, out_sig = [], [], [], []
-    for doc_id, sig in zip(doc_ids, sigs):
-        arr = np.asarray(sig, dtype=np.int64)
-        for band in range(BANDS):
-            chunk = arr[band * ROWS_PER_BAND:(band + 1) * ROWS_PER_BAND]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-            out_band.append(band)
-            out_hash.append(h)
-            out_doc.append(doc_id)
-            out_sig.append(sig)
-    return pa.table({"band": pa.array(out_band, pa.int32()),
-                     "band_hash": pa.array(out_hash, pa.string()),
-                     "doc_id": pa.array(out_doc),
-                     "sig": pa.array(out_sig, pa.list_(pa.int64()))})
+    S = np.asarray(sigs, dtype=np.int64).astype(np.uint64)   # (n, N_PERM)
+    S = S.reshape(n, BANDS, ROWS_PER_BAND)
+    h = np.zeros((n, BANDS), dtype=np.uint64)
+    for r in range(ROWS_PER_BAND):
+        h = (h + S[:, :, r]) * _MIX[r % len(_MIX)]
+    h = ((h ^ (h >> np.uint64(31)))
+         & np.uint64((1 << 63) - 1)).astype(np.int64)   # non-negative
+    band_idx = np.tile(np.arange(BANDS, dtype=np.int32), n)
+    doc_idx = np.repeat(np.arange(n), BANDS)
+    return pa.table({
+        "band": pa.array(band_idx, pa.int32()),
+        "band_hash": pa.array(h.reshape(-1), pa.int64()),
+        "doc_id": batch.column("doc_id").take(pa.array(doc_idx)),
+        "sig": batch.column("sig").take(pa.array(doc_idx))})
 
 
 def bucket_pairs_group(group: pa.Table, threshold: float = 0.5) -> pa.Table:
@@ -107,18 +142,27 @@ def bucket_pairs_group(group: pa.Table, threshold: float = 0.5) -> pa.Table:
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, simhash hex) — 64-bit simhash over tokens."""
+    """(doc_id, simhash hex) — 64-bit simhash over tokens.
+
+    Token hash = first 8 bytes of md5 so the DuckDB oracle can reproduce
+    it bit-for-bit (('0x'||substr(md5(tok),1,16))::UBIGINT)."""
     texts = batch.column("text").to_pylist()
     out = []
+    cache: dict = {}
     for t in texts:
         toks = (t or "").split()
         if not toks:
             out.append("0" * 16)
             continue
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8)
-                            .digest(), "big") for tok in toks),
-            dtype=np.uint64, count=len(toks))
+        def _h(tok):
+            v = cache.get(tok)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
+                                   "big")
+                cache[tok] = v
+            return v
+        hs = np.fromiter((_h(tok) for tok in toks),
+                         dtype=np.uint64, count=len(toks))
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)).astype(np.int32)
         v = (bits * 2 - 1).sum(axis=0)
@@ -135,19 +179,57 @@ def ngram_set(text: str, k: int = SHINGLE_K) -> set:
     return {" ".join(toks[i:i + k]) for i in range(max(1, len(toks) - k + 1))}
 
 
-def exact_jaccard_pairs_group(group: pa.Table,
+def shingle_prefix_explode(batch: pa.Table,
+                           threshold: float = 0.4) -> pa.Table:
+    """Prefix-filtering explode for the exact set-similarity join
+    (SSJoin/PPJoin principle): shingle sets sorted in a global order
+    (ascending hash); any pair with Jaccard >= t must share an element
+    within each set's first ``|S| - ceil(t*|S|) + 1`` shingles, so
+    grouping by prefix shingle has *provably complete* recall — unlike a
+    single min-shingle bucket.  Emits (shingle, doc_id, sh: sorted hash
+    array) — one row per prefix shingle per doc.  Skew note: ordering by
+    global shingle frequency (rarest first) instead of hash would shrink
+    hot buckets further; hash order keeps it one-pass."""
+    import math
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    cache: dict = {}
+    out_shingle, out_doc_idx, out_sets = [], [], []
+    for i, t in enumerate(texts):
+        sh = np.unique(_shingles(t or "", cache=cache))  # sorted distinct
+        p = len(sh) - math.ceil(threshold * len(sh)) + 1
+        p = max(1, min(p, len(sh)))
+        out_sets.append(sh.astype(np.int64).tolist())
+        for v in sh[:p]:
+            out_shingle.append(int(v))
+            out_doc_idx.append(i)
+    idx = pa.array(out_doc_idx, pa.int32())
+    sets_arr = pa.array(out_sets, pa.list_(pa.int64()))
+    return pa.table({
+        "shingle": pa.array(out_shingle, pa.int64()),
+        "doc_id": batch.column("doc_id").take(idx),
+        "sh": sets_arr.take(idx) if len(out_doc_idx) else sets_arr})
+
+
+def prefix_bucket_pairs_group(group: pa.Table,
                               threshold: float = 0.4) -> pa.Table:
-    """Within a candidate bucket, exact n-gram Jaccard verification."""
+    """Within one prefix-shingle bucket: exact Jaccard over the sorted
+    shingle-hash arrays (61-bit hashes; collisions negligible)."""
     doc_ids = group.column("doc_id").to_pylist()
-    sets = [ngram_set(t or "") for t in group.column("text").to_pylist()]
+    sets = [np.asarray(s, dtype=np.int64)
+            for s in group.column("sh").to_pylist()]
     a_out, b_out, j_out = [], [], []
     n = len(doc_ids)
     order = sorted(range(n), key=lambda i: doc_ids[i])
     for ii in range(n):
         for jj in range(ii + 1, n):
             i, j = order[ii], order[jj]
-            u = len(sets[i] | sets[j])
-            jac = (len(sets[i] & sets[j]) / u) if u else 0.0
+            if doc_ids[i] == doc_ids[j]:
+                continue
+            inter = len(np.intersect1d(sets[i], sets[j],
+                                       assume_unique=True))
+            u = len(sets[i]) + len(sets[j]) - inter
+            jac = inter / u if u else 0.0
             if jac >= threshold:
                 a_out.append(doc_ids[i])
                 b_out.append(doc_ids[j])

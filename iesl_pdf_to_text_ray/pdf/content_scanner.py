@@ -102,7 +102,8 @@ class ContentScanner:
             if g == 4:
                 op = m.group(4).decode("latin1")
                 if op in ("true", "false", "null"):
-                    cur.append(op == "true")
+                    cur.append(True if op == "true"
+                               else (False if op == "false" else None))
                     continue
                 operands = stack
                 self.pos = pos

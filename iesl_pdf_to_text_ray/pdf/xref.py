@@ -115,8 +115,15 @@ class XRef:
                 if not isinstance(offset, int) or not isinstance(gen, int):
                     raise PdfError("malformed xref entry")
                 num = first + i
-                if kind == "n" and num not in self.entries:
+                if num in self.entries:
+                    continue
+                if kind == "n":
                     self.entries[num] = (offset, gen)
+                elif kind == "f":
+                    # tombstone: an object freed in a newer incremental
+                    # update must shadow any definition in an older /Prev
+                    # section (sections are parsed newest-first)
+                    self.entries[num] = None
 
     def _parse_xref_stream(self, stm: Stream) -> None:
         d = stm.dict
@@ -150,6 +157,8 @@ class XRef:
                     self.entries[num] = (f2, f3)
                 elif ftype == 2:
                     self.entries[num] = ("objstm", f2, f3)
+                elif ftype == 0:
+                    self.entries[num] = None  # free-entry tombstone
 
     # -- damage recovery --------------------------------------------------
 

@@ -22,7 +22,12 @@ _EDGE_TEXTS = ["\x01\x02", "ﬁne", "ö", "–", " lead"]
 
 
 def synthesize_spans_batch(batch: pa.Table) -> pa.Table:
-    """documents row -> interleaved spans row (deterministic)."""
+    """documents row -> interleaved spans row (deterministic).
+
+    Hashing is keyed by *chunk index* (stateless per chunk, md5-based) so
+    the span-count statistics are reproducible by the SQL oracle: chunk c
+    gets a media span before it iff h(c) % 12 == 0 and an edge-case text
+    iff h(c) % 17 == 0 (edge chosen by h % 5)."""
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     out_ids, out_spans = [], []
@@ -30,14 +35,13 @@ def synthesize_spans_batch(batch: pa.Table) -> pa.Table:
         toks = (text or "").split()
         spans = []
         media_ctr = 0
-        for i in range(0, len(toks), 5):
-            idx = len(spans)
-            h = (hash_stable(doc_id, idx))
+        for c, i in enumerate(range(0, len(toks), 5)):
+            h = hash_stable(doc_id, c)
             if h % 12 == 0:
                 media_ctr += 1
                 spans.append({"kind": "media", "text": "",
-                              "media_ref": f"img_p{idx // 40}_{media_ctr}",
-                              "offset": idx})
+                              "media_ref": f"img_p{c // 8}_{media_ctr}",
+                              "offset": len(spans)})
             txt = " ".join(toks[i:i + 5])
             if h % 17 == 0:
                 txt = _EDGE_TEXTS[h % len(_EDGE_TEXTS)]
@@ -50,8 +54,10 @@ def synthesize_spans_batch(batch: pa.Table) -> pa.Table:
 
 
 def hash_stable(doc_id, idx: int) -> int:
+    """First 4 bytes (big-endian) of md5('<doc_id>:<idx>') — matches the
+    oracle's ('0x' || substr(md5(doc_id || ':' || idx), 1, 8))::UBIGINT."""
     import hashlib
-    h = hashlib.blake2b(f"{doc_id}:{idx}".encode(), digest_size=4).digest()
+    h = hashlib.md5(f"{doc_id}:{idx}".encode()).digest()[:4]
     return int.from_bytes(h, "big")
 
 

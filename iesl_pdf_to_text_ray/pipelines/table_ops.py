@@ -128,34 +128,37 @@ def dedup_simhash(sf_dir: str):
 
 
 def dedup_ngram_jaccard(sf_dir: str):
-    """Exact n-gram Jaccard over LSH candidate buckets (never all-pairs)."""
+    """Exact n-gram Jaccard pairs (>= 0.4) via a prefix-filtering
+    set-similarity join: explode each doc to its prefix shingles ->
+    groupby(shingle) -> bucket-local exact verify -> pair dedup.
+    Complete recall (prefix-filter lemma), never all-pairs."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(dd.shingle_prefix_explode, batch_format="pyarrow")
+    ds = ds.groupby("shingle").map_groups(dd.prefix_bucket_pairs_group,
+                                          batch_format="pyarrow")
+    # a qualifying pair can surface in several prefix buckets; jaccard is
+    # identical everywhere, so Max is a pure dedup
+    from ray.data.aggregate import Max
+    ds = ds.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard"))
 
-    def bucket_batch(batch: pa.Table) -> pa.Table:
-        # candidate bucket = min shingle hash (cheap recall-oriented LSH)
-        texts = batch.column("text").to_pylist()
-        buckets = []
-        for t in texts:
-            sh = dd._shingles(t or "")
-            buckets.append(int(sh.min() % np.uint64(1 << 31)))
-        return batch.append_column("bucket",
-                                   pa.array(buckets, pa.int64()))
-
-    ds = ds.map_batches(bucket_batch, batch_format="pyarrow")
-    return ds.groupby("bucket").map_groups(dd.exact_jaccard_pairs_group,
-                                           batch_format="pyarrow")
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": batch.column("doc_a"),
+                         "doc_b": batch.column("doc_b"),
+                         "jaccard": batch.column("max(jaccard)")})
+    return ds.map_batches(rename, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------- ANN
 
 def _load_queries(sf_dir: str, n_queries: int):
+    # predicate pushdown: only the n_queries query rows leave storage
+    # (row-group pruning via parquet filters), never the full table
     import pyarrow.parquet as pq
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
-    mask = np.asarray(t.column("vec_id").to_pylist()) < n_queries
-    ids = np.asarray(t.column("vec_id").to_pylist())[mask]
-    vecs = np.asarray([v for v, m in zip(t.column("embedding").to_pylist(),
-                                         mask) if m], dtype=np.float64)
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n_queries)])
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    vecs = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
     order = np.argsort(ids)
     return {"ids": ids[order].tolist(), "vecs": vecs[order]}
 
@@ -254,15 +257,25 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.4):
 
 
 def media_features(sf_dir: str):
-    """Multimodal plumbing demo: synthesized media table -> actor-pool
-    decode/feature stage (stub codec; real schema + batch sizing)."""
-    import pyarrow.parquet as pq
-    import ray.data
-    from ..stages.media import DecodeImageStage, synthesize_media_table
-    n_docs = pq.ParquetFile(
-        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
-    table = synthesize_media_table(min(500, n_docs))
-    ds = ray.data.from_arrow(table)
+    """Multimodal pipeline: documents -> opaque binary payload column ->
+    actor-pool decode/feature stage (stub codec with md5-derived fake
+    dimensions; real Ray plumbing — schema, payload-aware batch sizing,
+    actor signature).  Oracle-checkable because the fake decode is a pure
+    function of the payload that DuckDB can also compute."""
+    from ..stages.media import DecodeImageStage
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "media_id": pa.array([f"m-{d}" for d in ids], pa.string()),
+            "doc_id": pa.array([str(d) for d in ids], pa.string()),
+            "mime": pa.array(["image/fake"] * len(ids), pa.string()),
+            "payload": pa.array([(t or "").encode() for t in texts],
+                                pa.binary())})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(to_media, batch_format="pyarrow")
     ds = ds.map_batches(DecodeImageStage, batch_format="pyarrow",
                         batch_size=32, concurrency=(1, 4))
     return ds.select_columns(["media_id", "doc_id", "width", "height",
@@ -369,24 +382,33 @@ def revenue_by_nation(sf_dir: str):
     """
     import pyarrow.parquet as pq
     import ray
+    # small sides stay Arrow/numpy end-to-end: customer -> (sorted custkey
+    # array, per-customer nation-name dictionary codes); never a Python dict
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
                            columns=["n_nationkey", "n_name"])
-    nation_names = dict(zip(nation.column("n_nationkey").to_pylist(),
-                            nation.column("n_name").to_pylist()))
-    cust_nation = {c: nation_names.get(n)
-                   for c, n in zip(cust.column("c_custkey").to_pylist(),
-                                   cust.column("c_nationkey").to_pylist())}
-    lookup_ref = ray.put(cust_nation)
+    nkeys = np.asarray(nation.column("n_nationkey"), dtype=np.int64)
+    nnames = np.asarray(nation.column("n_name").to_pylist(), dtype=object)
+    name_by_key = np.empty(nkeys.max() + 1, dtype=object)
+    name_by_key[nkeys] = nnames
+    ckeys = np.asarray(cust.column("c_custkey"), dtype=np.int64)
+    cnation = name_by_key[np.asarray(cust.column("c_nationkey"),
+                                     dtype=np.int64)]
+    order = np.argsort(ckeys)
+    lookup_ref = ray.put({"keys": ckeys[order], "nation": cnation[order]})
 
     class JoinAgg:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            d = ray.get(lookup_ref)
+            self.keys = d["keys"]          # sorted custkeys
+            self.nation = d["nation"]      # aligned nation names
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             df = batch.to_pandas()
-            df["nation"] = df["o_custkey"].map(self.lookup)
+            pos = np.searchsorted(self.keys, df["o_custkey"].to_numpy())
+            pos = np.clip(pos, 0, len(self.keys) - 1)
+            df["nation"] = self.nation[pos]
             g = df.groupby("nation", as_index=False).agg(
                 part_n=("o_totalprice", "size"),
                 part_rev=("o_totalprice", "sum"))

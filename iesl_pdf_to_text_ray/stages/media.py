@@ -33,7 +33,9 @@ class MediaCodec:
     end; a real deployment passes an object wrapping PIL/ffmpeg."""
 
     def decode_image(self, payload: bytes) -> dict:
-        h = hashlib.blake2b(payload, digest_size=16).digest()
+        # md5-derived fake dimensions so the SQL oracle can reproduce them
+        # (64 + first/second digest byte)
+        h = hashlib.md5(payload).digest()
         w = 64 + h[0]
         ht = 64 + h[1]
         return {"width": w, "height": ht,
