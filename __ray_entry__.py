@@ -76,34 +76,28 @@ def pdf_metadata_query(sf_dir: str):
 
 
 def extract_corpus_split_query(sf_dir: str):
-    """Same extraction through the page-level skew-split path (split ->
-    shard extract -> groupby(doc_id) reassembly); must agree with
-    extract_corpus row-for-row."""
+    """Same extraction through the page-level skew-split path (metadata
+    read -> split -> pointer-resolved shard extract -> groupby(doc_id)
+    reassembly); must agree with extract_corpus row-for-row.  Returns the
+    lazy Dataset — the threshold travels as a UDF parameter, so no global
+    mutation and no driver-side materialization."""
     import pyarrow as pa
-    import iesl_pdf_to_text_ray.stages.extract as ex
     from iesl_pdf_to_text_ray.pipelines.extract_pipeline import extract_dataset
     from iesl_pdf_to_text_ray.stages.extract import spans_digest
-    old = ex.SPLIT_PAGE_THRESHOLD
-    ex.SPLIT_PAGE_THRESHOLD = 4   # force sharding for the corpus docs
-    try:
-        ds = extract_dataset(_corpus_dir(), concurrency=(1, 4), batch_size=4,
-                             split_pages=True)
+    ds = extract_dataset(_corpus_dir(), concurrency=(1, 4), batch_size=4,
+                         split_pages=True,
+                         split_threshold=4)  # force sharding on 4-12pp docs
 
-        def summarize(batch: pa.Table) -> pa.Table:
-            rows = batch.to_pylist()
-            return pa.table({
-                "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
-                "n_spans": pa.array([r["n_spans"] for r in rows], pa.int32()),
-                "n_text": pa.array([r["n_text"] for r in rows], pa.int32()),
-                "n_media": pa.array([r["n_media"] for r in rows], pa.int32()),
-                "digest": pa.array([spans_digest(r["spans"]) for r in rows],
-                                   pa.string())})
-        # materialize before restoring the threshold (lazy execution)
-        out = ds.map_batches(summarize, batch_format="pyarrow").take_all()
-    finally:
-        ex.SPLIT_PAGE_THRESHOLD = old
-    import pandas as pd
-    return pd.DataFrame(out)
+    def summarize(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+            "n_spans": pa.array([r["n_spans"] for r in rows], pa.int32()),
+            "n_text": pa.array([r["n_text"] for r in rows], pa.int32()),
+            "n_media": pa.array([r["n_media"] for r in rows], pa.int32()),
+            "digest": pa.array([spans_digest(r["spans"]) for r in rows],
+                               pa.string())})
+    return ds.map_batches(summarize, batch_format="pyarrow")
 
 
 def entry() -> Any:

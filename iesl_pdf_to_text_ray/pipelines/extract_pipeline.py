@@ -30,23 +30,45 @@ def _input_shards(corpus_dir: str) -> list[str]:
 
 
 def extract_dataset(corpus_dir_or_ds, *, concurrency=None, batch_size: int = 8,
-                    split_pages: bool = False):
-    """Build the lazy extraction Dataset (no output writing)."""
+                    split_pages: bool = False, split_threshold: int | None = None,
+                    pages_per_shard: int | None = None):
+    """Build the lazy extraction Dataset (no output writing).
+
+    ``split_threshold`` / ``pages_per_shard`` parameterize the skew split
+    and are bound into the worker UDF via functools.partial (pickled by
+    value — module-global overrides would not reach workers).
+    """
+    import functools
+
     import ray.data
+    from ..stages import extract as ex
     if concurrency is None:
         concurrency = (1, 8)  # autoscaling actor pool
-    if isinstance(corpus_dir_or_ds, str):
-        ds = ray.data.read_parquet(_input_shards(corpus_dir_or_ds))
-    else:
-        ds = corpus_dir_or_ds
+    threshold = (ex.SPLIT_PAGE_THRESHOLD if split_threshold is None
+                 else split_threshold)
+    per_shard = (ex.PAGES_PER_SHARD if pages_per_shard is None
+                 else pages_per_shard)
+    is_dir = isinstance(corpus_dir_or_ds, str)
     if split_pages:
-        ds = ds.map_batches(split_tasks, batch_format="pyarrow",
-                            batch_size=batch_size)
+        if is_dir:
+            # metadata-only read for the split decision: the payload
+            # column never enters the split stage or the doc_id shuffle
+            ds = ray.data.read_parquet(_input_shards(corpus_dir_or_ds),
+                                       columns=["doc_id", "n_pages"],
+                                       include_paths=True)
+        else:
+            ds = corpus_dir_or_ds
+        ds = ds.map_batches(
+            functools.partial(split_tasks, threshold=threshold,
+                              pages_per_shard=per_shard),
+            batch_format="pyarrow", batch_size=batch_size)
         ds = ds.map_batches(ExtractShards, batch_format="pyarrow",
                             batch_size=batch_size, concurrency=concurrency)
         ds = ds.groupby("doc_id").map_groups(reassemble_groups,
                                              batch_format="pyarrow")
     else:
+        ds = (ray.data.read_parquet(_input_shards(corpus_dir_or_ds))
+              if is_dir else corpus_dir_or_ds)
         ds = ds.map_batches(ExtractDocs, batch_format="pyarrow",
                             batch_size=batch_size, concurrency=concurrency)
     return ds

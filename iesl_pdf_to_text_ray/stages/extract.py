@@ -82,55 +82,103 @@ class ExtractDocs:
 
 # ---- page-level skew splitting ---------------------------------------------
 
-def split_tasks(batch: pa.Table) -> pa.Table:
-    """flat_map-style: doc row -> one or more (doc_id, shard, page range) rows.
+def split_tasks(batch: pa.Table, *,
+                threshold: int = SPLIT_PAGE_THRESHOLD,
+                pages_per_shard: int = PAGES_PER_SHARD) -> pa.Table:
+    """Doc row -> one or more (doc_id, shard, page range, payload pointer)
+    rows.  ``threshold`` is a parameter (bound via functools.partial, which
+    pickles by value — a module-global override on the driver would NOT
+    propagate to workers).
 
-    Output keeps the pdf_bytes payload per shard row; at 100 TB the payload
-    column is a Lance-backed lazy reference, so the duplication cost is a
-    pointer, not a copy (object-store dedup also interns identical blobs).
+    Payload handling: when the batch carries a ``path`` column (metadata
+    read with include_paths), shard rows carry only the pointer — the PDF
+    bytes never enter the split stage or the shuffle; ``ExtractShards``
+    re-reads them from storage with a doc_id filter.  The ``pdf_bytes``
+    fallback (in-memory Dataset input) copies the payload per shard and is
+    NOT the 100 TB path.
     """
     doc_ids = batch.column("doc_id").to_pylist()
-    payloads = batch.column("pdf_bytes").to_pylist()
+    by_pointer = "path" in batch.column_names
+    paths = (batch.column("path").to_pylist() if by_pointer
+             else [None] * len(doc_ids))
+    payloads = (batch.column("pdf_bytes").to_pylist()
+                if "pdf_bytes" in batch.column_names
+                else [None] * len(doc_ids))
     n_pages_col = (batch.column("n_pages").to_pylist()
                    if "n_pages" in batch.column_names
                    else [None] * len(doc_ids))
     out = {"doc_id": [], "shard": [], "page_start": [], "page_end": [],
-           "pdf_bytes": []}
-    for doc_id, data, n_pages in zip(doc_ids, payloads, n_pages_col):
+           "path": [], "pdf_bytes": []}
+    for doc_id, path, data, n_pages in zip(doc_ids, paths, payloads,
+                                           n_pages_col):
         if n_pages is None:
             try:
                 n_pages = count_pages(data)
             except Exception:
                 n_pages = 1
-        if n_pages <= SPLIT_PAGE_THRESHOLD:
-            shards = [(0, n_pages)]
+        if n_pages <= threshold:
+            shards = [(0, max(n_pages, 1))]
         else:
-            shards = [(s, min(s + PAGES_PER_SHARD, n_pages))
-                      for s in range(0, n_pages, PAGES_PER_SHARD)]
+            shards = [(s, min(s + pages_per_shard, n_pages))
+                      for s in range(0, n_pages, pages_per_shard)]
         for i, (a, b) in enumerate(shards):
             out["doc_id"].append(doc_id)
             out["shard"].append(i)
             out["page_start"].append(a)
             out["page_end"].append(b)
-            out["pdf_bytes"].append(data)
+            out["path"].append(path or "")
+            out["pdf_bytes"].append(None if by_pointer else data)
     return pa.table({
         "doc_id": pa.array(out["doc_id"], pa.string()),
         "shard": pa.array(out["shard"], pa.int32()),
         "page_start": pa.array(out["page_start"], pa.int32()),
         "page_end": pa.array(out["page_end"], pa.int32()),
+        "path": pa.array(out["path"], pa.string()),
         "pdf_bytes": pa.array(out["pdf_bytes"], pa.binary())})
 
 
 class ExtractShards:
-    """Extract page-range shards (post split_tasks)."""
+    """Extract page-range shards (post split_tasks).
+
+    Payload resolution: rows with a ``path`` pointer are resolved with one
+    column-pruned, doc_id-filtered parquet read per (file, batch) — the
+    late-materialization pattern that keeps payload bytes out of the
+    shuffle.  An in-actor LRU of the last file's requested docs avoids
+    re-reading when consecutive batches hit the same file.
+    """
 
     def __init__(self):
         from ..pdf import fonts
         fonts.glyph_list()
+        self._blob_cache: dict[tuple[str, str], bytes] = {}
+
+    def _resolve_payloads(self, rows: list[dict]) -> None:
+        import pyarrow.parquet as pq
+        wanted = {(r["path"], r["doc_id"]) for r in rows
+                  if r["pdf_bytes"] is None and r["path"]}
+        # bound actor memory: keep only entries this batch still needs
+        self._blob_cache = {k: v for k, v in self._blob_cache.items()
+                            if k in wanted}
+        need: dict[str, set] = {}
+        for path, doc in wanted:
+            if (path, doc) not in self._blob_cache:
+                need.setdefault(path, set()).add(doc)
+        for path, ids in need.items():
+            t = pq.read_table(path, columns=["doc_id", "pdf_bytes"],
+                              filters=[("doc_id", "in", sorted(ids))])
+            for d, b in zip(t.column("doc_id").to_pylist(),
+                            t.column("pdf_bytes").to_pylist()):
+                self._blob_cache[(path, d)] = b
+        for r in rows:
+            if r["pdf_bytes"] is None:
+                r["pdf_bytes"] = self._blob_cache.get(
+                    (r["path"], r["doc_id"]), b"")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        self._resolve_payloads(rows)
         out = {"doc_id": [], "shard": [], "spans": [], "error": []}
-        for row in batch.to_pylist():
+        for row in rows:
             try:
                 spans = extract_spans(row["pdf_bytes"],
                                       (row["page_start"], row["page_end"]))

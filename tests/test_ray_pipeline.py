@@ -46,21 +46,39 @@ def test_extract_matches_golden_through_ray(ray_session, corpus_dir):
 
 
 def test_page_split_reassembly_identical(ray_session, corpus_dir):
-    """Skew path must give byte-identical spans to the whole-doc path."""
-    import iesl_pdf_to_text_ray.stages.extract as ex
-    old = ex.SPLIT_PAGE_THRESHOLD
-    ex.SPLIT_PAGE_THRESHOLD = 2   # force every doc through page sharding
-    try:
-        ds = extract_dataset(corpus_dir, concurrency=2, batch_size=4,
-                             split_pages=True)
-        split_rows = {r["doc_id"]: r["spans"] for r in ds.take_all()}
-    finally:
-        ex.SPLIT_PAGE_THRESHOLD = old
+    """Skew path must give byte-identical spans to the whole-doc path.
+    threshold=2 + pages_per_shard=3 forces every corpus doc (4-12 pp)
+    through genuine multi-shard reassembly."""
+    ds = extract_dataset(corpus_dir, concurrency=2, batch_size=4,
+                         split_pages=True, split_threshold=2,
+                         pages_per_shard=3)
+    split_rows = {r["doc_id"]: r["spans"] for r in ds.take_all()}
     ds2 = extract_dataset(corpus_dir, concurrency=2, batch_size=4)
     whole_rows = {r["doc_id"]: r["spans"] for r in ds2.take_all()}
     assert split_rows.keys() == whole_rows.keys()
     for doc_id in whole_rows:
         assert split_rows[doc_id] == whole_rows[doc_id], doc_id
+
+
+def test_split_tasks_shards_by_pointer(corpus_dir):
+    """The split stage is metadata-only: shard rows multiply per doc but
+    carry a storage pointer, never a payload copy (VERDICT r1 item 1)."""
+    import functools
+    import glob
+
+    import pyarrow.parquet as pq
+    from iesl_pdf_to_text_ray.stages.extract import split_tasks
+    f = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))[0]
+    meta = pq.read_table(f, columns=["doc_id", "n_pages"])
+    meta = meta.append_column(
+        "path", __import__("pyarrow").array([f] * meta.num_rows))
+    out = functools.partial(split_tasks, threshold=2, pages_per_shard=3)(meta)
+    assert out.num_rows > meta.num_rows          # genuine multi-shard fan-out
+    assert out.column("pdf_bytes").null_count == out.num_rows
+    per_doc = {}
+    for d in out.column("doc_id").to_pylist():
+        per_doc[d] = per_doc.get(d, 0) + 1
+    assert max(per_doc.values()) >= 2
 
 
 def test_resume_skips_completed_partitions(ray_session, corpus_dir, tmp_path):
