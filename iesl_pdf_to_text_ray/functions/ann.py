@@ -77,6 +77,54 @@ def merge_topk_group(group: pa.Table, k: int) -> pa.Table:
         "sim": pa.array(np.round(sims[order], 6), pa.float64())})
 
 
+# ---- blocked exact pair-join (near-dup) -----------------------------------
+
+def blockpair_explode(batch: pa.Table, n_blocks: int) -> pa.Table:
+    """Explode each vector row to its ``n_blocks`` unordered block-pair
+    groups: block(v) = vec_id % n_blocks; row v joins group
+    (min(block, j), max(block, j)) for every j.  Every vector *pair* then
+    lands in exactly one group, so the downstream pair search is exact and
+    duplicate-free with no full-matrix broadcast — the O(n^2) work is
+    sliced into B(B+1)/2 bounded-memory tasks (B scales with n so a group
+    = 2 blocks fits a worker's heap)."""
+    n = batch.num_rows
+    ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+    block = (ids % n_blocks).astype(np.int32)
+    j = np.tile(np.arange(n_blocks, dtype=np.int32), n)
+    b = np.repeat(block, n_blocks)
+    idx = pa.array(np.repeat(np.arange(n), n_blocks))
+    return pa.table({
+        "ga": pa.array(np.minimum(b, j), pa.int32()),
+        "gb": pa.array(np.maximum(b, j), pa.int32()),
+        "block": pa.array(b, pa.int32()),
+        "vec_id": batch.column("vec_id").take(idx),
+        "embedding": batch.column("embedding").take(idx)})
+
+
+def blockpair_pairs_group(group: pa.Table, threshold: float) -> pa.Table:
+    """One block-pair group: vectorized cosine pair search.  Intra-block
+    (ga == gb) takes the upper triangle; cross-block pairs left x right."""
+    ga = group.column("ga")[0].as_py()
+    gb = group.column("gb")[0].as_py()
+    ids = np.asarray(group.column("vec_id"), dtype=np.int64)
+    blocks = np.asarray(group.column("block"), dtype=np.int64)
+    mat = normalize(_matrix(group.column("embedding")))
+    if ga == gb:
+        sims = np.round(mat @ mat.T, 6)
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        a, b, s = ids[ii], ids[jj], sims[ii, jj]
+    else:
+        lm, rm = blocks == ga, blocks == gb
+        sims = np.round(mat[lm] @ mat[rm].T, 6)
+        ii, jj = np.nonzero(sims >= threshold)
+        a, b, s = ids[lm][ii], ids[rm][jj], sims[ii, jj]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = lo != hi
+    return pa.table({"id_a": pa.array(lo[keep], pa.int64()),
+                     "id_b": pa.array(hi[keep], pa.int64()),
+                     "sim": pa.array(s[keep], pa.float64())})
+
+
 # ---- IVF ------------------------------------------------------------------
 
 def kmeans_fit(vectors: np.ndarray, n_clusters: int, n_iter: int = 8,

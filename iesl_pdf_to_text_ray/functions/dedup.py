@@ -96,6 +96,7 @@ def band_explode_batch(batch: pa.Table) -> pa.Table:
     if n == 0:
         return pa.table({"band": pa.array([], pa.int32()),
                          "band_hash": pa.array([], pa.int64()),
+                         "part": pa.array([], pa.int32()),
                          "doc_id": pa.array([], batch.column("doc_id").type),
                          "sig": pa.array([], pa.list_(pa.int64()))})
     sigs = batch.column("sig").to_pylist()
@@ -108,29 +109,56 @@ def band_explode_batch(batch: pa.Table) -> pa.Table:
          & np.uint64((1 << 63) - 1)).astype(np.int64)   # non-negative
     band_idx = np.tile(np.arange(BANDS, dtype=np.int32), n)
     doc_idx = np.repeat(np.arange(n), BANDS)
+    flat = h.reshape(-1)
     return pa.table({
         "band": pa.array(band_idx, pa.int32()),
-        "band_hash": pa.array(h.reshape(-1), pa.int64()),
+        "band_hash": pa.array(flat, pa.int64()),
+        "part": pa.array(flat % N_BUCKET_PARTS, pa.int32()),
         "doc_id": batch.column("doc_id").take(pa.array(doc_idx)),
         "sig": batch.column("sig").take(pa.array(doc_idx))})
 
 
-def bucket_pairs_group(group: pa.Table, threshold: float = 0.5) -> pa.Table:
-    """Within one (band, band_hash) bucket: verify candidate pairs by
-    estimated Jaccard (signature agreement)."""
+N_BUCKET_PARTS = 64   # coarse hash partitions for bucket-local pair search
+
+
+def bucket_pairs_partition(group: pa.Table,
+                           threshold: float = 0.5) -> pa.Table:
+    """One coarse partition of LSH buckets (all rows whose band_hash maps
+    to this partition).  Buckets are recovered as *runs* of a vectorized
+    lexsort — one Python call per partition instead of one per bucket,
+    which matters when almost every bucket is a singleton (the common
+    case: at sf0.01 there are ~8000 buckets and ~25 real pairs)."""
+    n = group.num_rows
+    bands = np.asarray(group.column("band"), dtype=np.int64)
+    hashes = np.asarray(group.column("band_hash"), dtype=np.int64)
     doc_ids = group.column("doc_id").to_pylist()
-    sigs = [np.asarray(s, dtype=np.int64)
-            for s in group.column("sig").to_pylist()]
+    order = np.lexsort((bands, hashes))
+    bs, hs = bands[order], hashes[order]
+    run_starts = np.flatnonzero(
+        np.concatenate(([True], (bs[1:] != bs[:-1]) | (hs[1:] != hs[:-1]))))
+    run_ends = np.concatenate((run_starts[1:], [n]))
     a_out, b_out, j_out = [], [], []
-    n = len(doc_ids)
-    if n > 1:
-        order = np.argsort(np.asarray(doc_ids, dtype=object))
-        for ii in range(n):
-            for jj in range(ii + 1, n):
-                i, j = order[ii], order[jj]
+    seen = set()
+    sig_col = group.column("sig")
+    sig_cache: dict = {}
+    for s, e in zip(run_starts, run_ends):
+        if e - s < 2:
+            continue
+        idx = sorted(order[s:e], key=lambda i: doc_ids[i])
+        for x in range(len(idx)):
+            for y in range(x + 1, len(idx)):
+                i, j = idx[x], idx[y]
                 if doc_ids[i] == doc_ids[j]:
                     continue
-                est = float(np.mean(sigs[i] == sigs[j]))
+                key = (doc_ids[i], doc_ids[j])
+                if key in seen:
+                    continue
+                seen.add(key)
+                for z in (i, j):
+                    if z not in sig_cache:
+                        sig_cache[z] = np.asarray(sig_col[z].as_py(),
+                                                  dtype=np.int64)
+                est = float(np.mean(sig_cache[i] == sig_cache[j]))
                 if est >= threshold:
                     a_out.append(doc_ids[i])
                     b_out.append(doc_ids[j])
@@ -205,35 +233,57 @@ def shingle_prefix_explode(batch: pa.Table,
             out_doc_idx.append(i)
     idx = pa.array(out_doc_idx, pa.int32())
     sets_arr = pa.array(out_sets, pa.list_(pa.int64()))
+    sh_arr = np.asarray(out_shingle, dtype=np.int64)
     return pa.table({
-        "shingle": pa.array(out_shingle, pa.int64()),
+        "shingle": pa.array(sh_arr, pa.int64()),
+        "part": pa.array(sh_arr % N_BUCKET_PARTS, pa.int32()),
         "doc_id": batch.column("doc_id").take(idx),
         "sh": sets_arr.take(idx) if len(out_doc_idx) else sets_arr})
 
 
-def prefix_bucket_pairs_group(group: pa.Table,
-                              threshold: float = 0.4) -> pa.Table:
-    """Within one prefix-shingle bucket: exact Jaccard over the sorted
-    shingle-hash arrays (61-bit hashes; collisions negligible)."""
+def prefix_pairs_partition(group: pa.Table,
+                           threshold: float = 0.4) -> pa.Table:
+    """One coarse partition of prefix-shingle buckets: buckets recovered
+    as sort runs (one Python call per partition, not per shingle), pairs
+    verified by exact Jaccard over sorted shingle-hash arrays (61-bit
+    hashes; collisions negligible)."""
+    n = group.num_rows
+    shingles = np.asarray(group.column("shingle"), dtype=np.int64)
     doc_ids = group.column("doc_id").to_pylist()
-    sets = [np.asarray(s, dtype=np.int64)
-            for s in group.column("sh").to_pylist()]
+    order = np.argsort(shingles, kind="stable")
+    ss = shingles[order]
+    run_starts = np.flatnonzero(
+        np.concatenate(([True], ss[1:] != ss[:-1])))
+    run_ends = np.concatenate((run_starts[1:], [n]))
+    sh_col = group.column("sh")
+    set_cache: dict = {}
     a_out, b_out, j_out = [], [], []
-    n = len(doc_ids)
-    order = sorted(range(n), key=lambda i: doc_ids[i])
-    for ii in range(n):
-        for jj in range(ii + 1, n):
-            i, j = order[ii], order[jj]
-            if doc_ids[i] == doc_ids[j]:
-                continue
-            inter = len(np.intersect1d(sets[i], sets[j],
-                                       assume_unique=True))
-            u = len(sets[i]) + len(sets[j]) - inter
-            jac = inter / u if u else 0.0
-            if jac >= threshold:
-                a_out.append(doc_ids[i])
-                b_out.append(doc_ids[j])
-                j_out.append(round(jac, 6))
+    seen = set()
+    for s, e in zip(run_starts, run_ends):
+        if e - s < 2:
+            continue
+        idx = sorted(order[s:e], key=lambda i: doc_ids[i])
+        for x in range(len(idx)):
+            for y in range(x + 1, len(idx)):
+                i, j = idx[x], idx[y]
+                if doc_ids[i] == doc_ids[j]:
+                    continue
+                key = (doc_ids[i], doc_ids[j])
+                if key in seen:
+                    continue
+                seen.add(key)
+                for z in (i, j):
+                    if z not in set_cache:
+                        set_cache[z] = np.asarray(sh_col[z].as_py(),
+                                                  dtype=np.int64)
+                si, sj = set_cache[i], set_cache[j]
+                inter = len(np.intersect1d(si, sj, assume_unique=True))
+                u = len(si) + len(sj) - inter
+                jac = inter / u if u else 0.0
+                if jac >= threshold:
+                    a_out.append(doc_ids[i])
+                    b_out.append(doc_ids[j])
+                    j_out.append(round(jac, 6))
     id_type = group.column("doc_id").type
     return pa.table({"doc_a": pa.array(a_out, id_type),
                      "doc_b": pa.array(b_out, id_type),

@@ -71,14 +71,23 @@ def test_collect_invariants(ops):
         assert text and not text.isspace()
         assert min(text) >= "\x20"
     # invariant 2: collected glyphs (ignoring inserted/real spaces) are a
-    # subsequence of the shown glyph stream characters
-    it = iter(shown)
-    for ch in collected.replace(" ", ""):
-        for s in it:
-            if s == ch:
-                break
-        else:
-            raise AssertionError(f"{ch!r} not in shown stream order")
+    # subsequence of the shown glyph stream characters.  With save/restore
+    # in play the reference's DOM *move* semantics can legitimately reorder
+    # whole text elements (an empty show after restore re-appends the
+    # pre-save text element at the tail), so only multiset containment
+    # holds there.
+    from collections import Counter
+    stripped = collected.replace(" ", "")
+    if any(o[0] in ("save", "restore") for o in ops):
+        assert not Counter(stripped) - Counter(shown)
+    else:
+        it = iter(shown)
+        for ch in stripped:
+            for s in it:
+                if s == ch:
+                    break
+            else:
+                raise AssertionError(f"{ch!r} not in shown stream order")
     # invariant 3: collect() is idempotent
     assert b.collect() == spans
 
