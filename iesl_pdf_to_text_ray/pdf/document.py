@@ -43,14 +43,14 @@ class Page:
 
 
 class PdfDocument:
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes = b""):
         if not data.lstrip(b"\x00\t\r\n %")[:4] == b"%PDF":
             # tolerate leading garbage; search for header
             idx = data.find(b"%PDF-")
             if idx < 0:
                 raise PdfError("not a PDF (no %PDF header)")
             data = data[idx:]
-        self.xref = XRef(data)
+        self.xref = XRef(data, password=password)
         self._pages: list[Page] | None = None
 
     @property

@@ -12,14 +12,16 @@ from .evaluator import interpret_page
 
 def extract_spans(pdf_bytes: bytes,
                   page_range: tuple[int, int] | None = None,
+                  password: bytes = b"",
                   ) -> list[tuple[str, str, str, int]]:
     """Extract the full span sequence of a document in reading order.
 
     page_range: optional (start, stop) page-index slice for page-level
     skew splitting; offsets are then local to the slice (the reassembly
-    stage rebases them).
+    stage rebases them).  ``password`` unlocks encrypted documents (the
+    empty default covers the common empty-user-password case).
     """
-    doc = PdfDocument(pdf_bytes)
+    doc = PdfDocument(pdf_bytes, password=password)
     pages = doc.pages
     if page_range is not None:
         pages = pages[page_range[0]:page_range[1]]

@@ -19,7 +19,7 @@ _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
 class XRef:
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes = b""):
         self.data = data
         # obj num -> (offset, gen) for classic entries,
         #            ("objstm", stm_num, idx) for compressed entries
@@ -28,12 +28,56 @@ class XRef:
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
         self._recovered = False
+        self.handler = None          # security handler (encrypted docs)
         try:
             self._parse()
         except Exception:
             self._recover()
         if not self.entries or "Root" not in self.trailer:
             self._recover()
+        self._init_encryption(password)
+
+    def _init_encryption(self, password: bytes) -> None:
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        from .crypto import make_handler
+        # the /Encrypt dict itself is never encrypted; fetch it while
+        # handler is still None so its O/U/OE/UE strings stay raw
+        enc = self.fetch_if_ref(enc_ref)
+        if not isinstance(enc, dict):
+            return
+        self.handler = make_handler(enc, self.trailer.get("ID"), password)
+        # anything fetched pre-handler (recovery scan, Encrypt resolution)
+        # was cached undecrypted — flush so re-fetches decrypt
+        self._cache.clear()
+        self._objstm_cache.clear()
+        if isinstance(enc_ref, Ref):
+            self._cache[enc_ref.num] = enc  # keep the raw Encrypt dict
+
+    def _decrypt_object(self, obj, num: int, gen: int):
+        """Recursively decrypt strings (and stream bytes) of a fetched
+        top-level object.  Objects inside object streams are NOT
+        decrypted (the containing ObjStm stream already was); XRef
+        streams are never encrypted by spec."""
+        h = self.handler
+        if isinstance(obj, bytes):
+            return h.decrypt_string(num, gen, obj)
+        if isinstance(obj, list):
+            return [self._decrypt_object(o, num, gen) for o in obj]
+        if isinstance(obj, Stream):
+            obj.dict = self._decrypt_object(obj.dict, num, gen)
+            t = str(obj.dict.get("Type") or "")
+            if t == "XRef":
+                return obj
+            if t == "Metadata" and not h.encrypt_metadata:
+                return obj
+            obj.raw = h.decrypt_stream(num, gen, obj.raw)
+            return obj
+        if isinstance(obj, dict):
+            return {k: self._decrypt_object(v, num, gen)
+                    for k, v in obj.items()}
+        return obj
 
     # -- parsing ----------------------------------------------------------
 
@@ -256,6 +300,9 @@ class XRef:
                 entry = self.entries.get(num)
                 if entry and entry[0] != "objstm":
                     obj = self._fetch_at(entry[0], num)
+            if obj is not None and self.handler is not None:
+                gen = entry[1] if entry and isinstance(entry[1], int) else 0
+                obj = self._decrypt_object(obj, num, gen)
         self._cache[num] = obj
         return obj
 
