@@ -55,13 +55,15 @@ def main(argv=None) -> int:
             for p in range(n):
                 spans = extract_spans(data, (p, p + 1))
                 out.append({"doc_id": doc_id, "page": p, "spans": [
-                    {"kind": k, "text": t, "media_ref": m, "offset": o}
-                    for k, t, m, o in spans]})
+                    {"kind": k, "text": t, "media_ref": m, "offset": o,
+                     "x": xs, "y": y}
+                    for k, t, m, o, xs, y in spans]})
         else:
             spans = extract_spans(data)
             out.append({"doc_id": doc_id, "spans": [
-                {"kind": k, "text": t, "media_ref": m, "offset": o}
-                for k, t, m, o in spans]})
+                {"kind": k, "text": t, "media_ref": m, "offset": o,
+                 "x": xs, "y": y}
+                for k, t, m, o, xs, y in spans]})
         if args.metadata:
             meta = extract_metadata(data)
             for r in out:

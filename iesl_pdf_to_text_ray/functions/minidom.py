@@ -15,15 +15,19 @@ from __future__ import annotations
 
 
 class Element:
-    __slots__ = ("tag", "children", "parent", "text_chunks", "x_sentinels", "media_ref")
+    __slots__ = ("tag", "children", "parent", "text_chunks", "x_coords",
+                 "y", "media_ref")
 
     def __init__(self, tag: str):
         self.tag = tag
         self.children: list[Element] = []
         self.parent: Element | None = None
-        # tspan text accumulates as chunks (chars / inserted spaces)
+        # tspan text accumulates as chunks (chars / inserted spaces);
+        # x_coords holds one per-glyph x (text-line space) per chunk, with
+        # -1.0 marking an *inserted* word space (docs/svg-syntax.md:8-16)
         self.text_chunks: list[str] = []
-        self.x_sentinels: list[float] = []
+        self.x_coords: list[float] = []
+        self.y: float | None = None
         self.media_ref: str = ""
 
     def append_child(self, child: "Element") -> None:

@@ -202,7 +202,7 @@ class SpanBuilder:
                 gap = -it * font_size * 0.001
                 if gap + neg_cs >= threshold:
                     chunks.append(" ")
-                    tspan.x_sentinels.append(-1.0)
+                    tspan.x_coords.append(-1.0)   # inserted-space sentinel
                 x += gap
                 continue
             uni, width = it
@@ -212,8 +212,11 @@ class SpanBuilder:
                     start_x = cur.x + x * hscale
                     if start_x - self.last_end_x >= threshold:
                         chunks.append(" ")
-                        tspan.x_sentinels.append(-1.0)
+                        tspan.x_coords.append(-1.0)
+                if tspan.y is None:
+                    tspan.y = cur.y
                 chunks.append(uni)
+                tspan.x_coords.append(cur.x + x * hscale)
                 emitted_glyph = True
             x += width * wa_scale + char_spacing * font_dir
 
@@ -303,13 +306,18 @@ class SpanBuilder:
 
     # -- collection -------------------------------------------------------
 
-    def collect(self) -> list[tuple[str, str, str]]:
-        """Walk the final DOM in document order; return (kind, text, media_ref).
+    def collect(self) -> list[tuple[str, str, str, list[float],
+                                    float | None]]:
+        """Walk the final DOM in document order; return
+        ``(kind, text, media_ref, x, y)`` — ``x`` is the per-glyph
+        x-coordinate array in text-line space with ``-1`` marking inserted
+        word spaces (docs/svg-syntax.md:8-16 semantics), ``y`` the span's
+        line y.  Media spans carry ``([], None)``.
 
         §5.3 rule 5: control chars < U+0020 are stripped from span text, and
         spans that are empty after stripping are dropped.
         """
-        spans: list[tuple[str, str, str]] = []
+        spans: list[tuple[str, str, str, list[float], float | None]] = []
 
         def visit(el: Element):
             if el is self.defs:
@@ -322,9 +330,10 @@ class SpanBuilder:
                 # formula runs vanish entirely.  Whitespace-only spans are
                 # dropped too (no golden span is whitespace-only).
                 if text and not text.isspace() and min(text) >= "\x20":
-                    spans.append(("text", text, ""))
+                    spans.append(("text", text, "", list(el.x_coords),
+                                  el.y))
             elif el.media_ref:
-                spans.append(("media", "", el.media_ref))
+                spans.append(("media", "", el.media_ref, [], None))
             for c in el.children:
                 visit(c)
 

@@ -26,11 +26,14 @@ def extract_spans(pdf_bytes: bytes,
     if page_range is not None:
         pages = pages[page_range[0]:page_range[1]]
     font_cache: dict = {}
-    out: list[tuple[str, str, str, int]] = []
+    out: list[tuple] = []
     for page in pages:
         builder = interpret_page(doc.xref, page, font_cache)
-        for kind, text, media_ref in builder.collect():
-            out.append((kind, text, media_ref, len(out)))
+        for kind, text, media_ref, xs, y in builder.collect():
+            # (kind, text, media_ref, offset, x[], y): x carries per-glyph
+            # positions with -1 sentinels at inserted spaces (§5.3 / docs/
+            # svg-syntax.md:8-16)
+            out.append((kind, text, media_ref, len(out), xs, y))
     return out
 
 

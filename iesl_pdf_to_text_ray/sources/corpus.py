@@ -37,6 +37,18 @@ SPAN_STRUCT = pa.struct([
     ("offset", pa.int32()),
 ])
 
+# extraction-output span: adds positional data — per-glyph x array with -1
+# sentinels at inserted word spaces and the span's line y (the reference's
+# tspan x/y attributes, docs/svg-syntax.md:8-16)
+XSPAN_STRUCT = pa.struct([
+    ("kind", pa.string()),
+    ("text", pa.string()),
+    ("media_ref", pa.string()),
+    ("offset", pa.int32()),
+    ("x", pa.list_(pa.float64())),
+    ("y", pa.float64()),
+])
+
 SPANS_SCHEMA = pa.schema([
     ("doc_id", pa.string()),
     ("spans", pa.list_(SPAN_STRUCT)),

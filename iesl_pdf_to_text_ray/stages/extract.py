@@ -19,7 +19,7 @@ import hashlib
 
 import pyarrow as pa
 
-from ..sources.corpus import SPAN_STRUCT
+from ..sources.corpus import XSPAN_STRUCT
 from ..pdf.extractor import count_pages, extract_spans
 
 SPLIT_PAGE_THRESHOLD = 64   # docs beyond this get page-level fan-out
@@ -27,7 +27,7 @@ PAGES_PER_SHARD = 16
 
 _OUT_FIELDS = [
     ("doc_id", pa.string()),
-    ("spans", pa.list_(SPAN_STRUCT)),
+    ("spans", pa.list_(XSPAN_STRUCT)),
     ("n_spans", pa.int32()),
     ("n_text", pa.int32()),
     ("n_media", pa.int32()),
@@ -37,8 +37,9 @@ OUT_SCHEMA = pa.schema(_OUT_FIELDS)
 
 
 def _span_rows(spans):
-    return [{"kind": k, "text": t, "media_ref": m, "offset": o}
-            for k, t, m, o in spans]
+    return [{"kind": k, "text": t, "media_ref": m, "offset": o,
+             "x": xs, "y": y}
+            for k, t, m, o, xs, y in spans]
 
 
 class ExtractDocs:
@@ -70,7 +71,7 @@ class ExtractDocs:
             out["n_media"].append(sum(1 for s in spans if s[0] == "media"))
             out["error"].append(err)
         cols = {"doc_id": pa.array(out["doc_id"], pa.string()),
-                "spans": pa.array(out["spans"], pa.list_(SPAN_STRUCT)),
+                "spans": pa.array(out["spans"], pa.list_(XSPAN_STRUCT)),
                 "n_spans": pa.array(out["n_spans"], pa.int32()),
                 "n_text": pa.array(out["n_text"], pa.int32()),
                 "n_media": pa.array(out["n_media"], pa.int32()),
@@ -192,7 +193,7 @@ class ExtractShards:
         return pa.table({
             "doc_id": pa.array(out["doc_id"], pa.string()),
             "shard": pa.array(out["shard"], pa.int32()),
-            "spans": pa.array(out["spans"], pa.list_(SPAN_STRUCT)),
+            "spans": pa.array(out["spans"], pa.list_(XSPAN_STRUCT)),
             "error": pa.array(out["error"], pa.string())})
 
 
@@ -206,10 +207,11 @@ def reassemble_groups(group: pa.Table) -> pa.Table:
         for s in r["spans"]:
             spans.append({"kind": s["kind"], "text": s["text"],
                           "media_ref": s["media_ref"],
-                          "offset": len(spans)})
+                          "offset": len(spans),
+                          "x": s["x"], "y": s["y"]})
     return pa.table({
         "doc_id": pa.array([doc_id], pa.string()),
-        "spans": pa.array([spans], pa.list_(SPAN_STRUCT)),
+        "spans": pa.array([spans], pa.list_(XSPAN_STRUCT)),
         "n_spans": pa.array([len(spans)], pa.int32()),
         "n_text": pa.array([sum(1 for s in spans if s["kind"] == "text")],
                            pa.int32()),

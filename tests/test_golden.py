@@ -61,13 +61,42 @@ def test_span_structure(doc):
     spans, _ = _load(doc)
     # offsets are the dense 0..n-1 ordinals
     assert [s[3] for s in spans] == list(range(len(spans)))
-    for kind, text, media_ref, _ in spans:
+    for kind, text, media_ref, _, xs, y in spans:
         if kind == "text":
             assert text and media_ref == ""
             assert not text.isspace()
             assert min(text) >= "\x20"
+            assert xs and y is not None
         else:
             assert kind == "media" and text == "" and media_ref
+            assert xs == [] and y is None
+
+
+@pytest.mark.parametrize("doc", CORPUS)
+def test_positional_sentinels(doc):
+    """docs/svg-syntax.md:8-16: the x array carries one coordinate per
+    emitted glyph, with -1 exactly at inserted word-space positions.
+    Spaces *inside* a glyph's unicode (rare multi-char toUnicode) get no
+    sentinel, so sentinel count <= space count and every sentinel index
+    maps to a space chunk."""
+    spans, _ = _load(doc)
+    n_sent = 0
+    for kind, text, _, xs, y in [(s[0], s[1], s[2], s[4], s[5])
+                                 for s in spans]:
+        if kind != "text":
+            continue
+        sent = [i for i, v in enumerate(xs) if v == -1.0]
+        n_sent += len(sent)
+        # chunk-level alignment: walking chunks == walking x entries;
+        # a sentinel's chunk must be a space
+        assert len(xs) <= len(text)
+        if len(xs) == len(text):   # all chunks single-char: exact mapping
+            for i in sent:
+                assert text[i] == " ", (text, i)
+        non_sent = [v for v in xs if v != -1.0]
+        assert all(v > -1e6 for v in non_sent)
+    # the corpus inserts plenty of word spaces; sanity-floor the count
+    assert n_sent > 100, f"{doc}: only {n_sent} inserted-space sentinels"
 
 
 @pytest.mark.parametrize("doc", CORPUS)

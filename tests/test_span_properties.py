@@ -65,11 +65,15 @@ def test_collect_invariants(ops):
     shown = "".join(g[0] for o in ops if o[0] == "show"
                     for g in o[1] if isinstance(g, tuple))
     collected = "".join(s[1] for s in spans if s[0] == "text")
-    # invariant 1: no control chars, no empty/whitespace-only spans
-    for kind, text, media_ref in spans:
+    # invariant 1: no control chars, no empty/whitespace-only spans;
+    # inserted-space sentinels (-1) line up with space chunks in x
+    for kind, text, media_ref, xs, y in spans:
         assert kind == "text"
         assert text and not text.isspace()
         assert min(text) >= "\x20"
+        assert len(xs) >= 1 and y is not None
+        for coord in xs:
+            assert coord == -1.0 or coord >= -1e9
     # invariant 2: collected glyphs (ignoring inserted/real spaces) are a
     # subsequence of the shown glyph stream characters.  With save/restore
     # in play the reference's DOM *move* semantics can legitimately reorder
