@@ -56,20 +56,23 @@ def pdf_metadata_query(sf_dir: str):
     from iesl_pdf_to_text_ray.pdf.extractor import extract_metadata
 
     def meta_batch(batch: pa.Table) -> pa.Table:
-        rows = []
+        ids, pages, creators, producers, xmp = [], [], [], [], []
         for doc_id, data in zip(batch.column("doc_id").to_pylist(),
                                 batch.column("pdf_bytes").to_pylist()):
             try:
                 m = extract_metadata(data)
-            except Exception as e:
-                m = {"n_pages": 0, "creator": None, "producer": None,
-                     "has_xmp_metadata": False}
-            rows.append({"doc_id": doc_id, "n_pages": m.get("n_pages", 0),
-                         "creator": m.get("creator") or "",
-                         "producer": m.get("producer") or "",
-                         "has_xmp": bool(m.get("has_xmp_metadata"))})
-        import pandas as pd
-        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+            except Exception:
+                m = {}
+            ids.append(doc_id)
+            pages.append(int(m.get("n_pages", 0)))
+            creators.append(m.get("creator") or "")
+            producers.append(m.get("producer") or "")
+            xmp.append(bool(m.get("has_xmp_metadata")))
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "n_pages": pa.array(pages, pa.int32()),
+                         "creator": pa.array(creators, pa.string()),
+                         "producer": pa.array(producers, pa.string()),
+                         "has_xmp": pa.array(xmp, pa.bool_())})
 
     ds = ray.data.read_parquet(_corpus_dir())
     return ds.map_batches(meta_batch, batch_format="pyarrow", batch_size=4)

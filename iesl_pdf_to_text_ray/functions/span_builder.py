@@ -207,8 +207,13 @@ class SpanBuilder:
                 continue
             uni, width = it
             if uni:
-                if not chunks and self.last_end_x is not None:
-                    # §5.3 rule 4: leading space on a new span after a pen jump
+                # §5.3 rule 4: leading space on a new span after a pen jump.
+                # Bug-compat: the (JavaScript) golden generator guards with
+                # plain truthiness, so a pen reference of exactly 0.0 —
+                # which arises after a zero-width Type3 run at the origin of
+                # a fresh Tm frame — disables the check like None does.
+                # This closes the C04-1204 residue: 5603/5603 exact.
+                if not chunks and self.last_end_x:
                     start_x = cur.x + x * hscale
                     if start_x - self.last_end_x >= threshold:
                         chunks.append(" ")

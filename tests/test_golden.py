@@ -1,17 +1,14 @@
 """Regression-corpus span equality vs the reference goldens.
 
 The acceptance contract (BASELINE.json): per-document span-sequence
-equality (kind, text, media_ref, order).  Three documents are exact; for
-C04-1204 the engine matches 5599/5603 text spans with exactly four known
-divergences — symbolic-Type3 leading-space quirks of the (patched) golden
-generator that the survey session could not fit either (SURVEY.md §5.3).
-Those four are pinned here so any regression OR improvement is caught.
+equality (kind, text, media_ref, order).  All four documents are exact,
+including C04-1204 (5603/5603) — the last four divergences were closed by
+reproducing the golden generator's JS-truthiness guard on the rule-4 pen
+reference (lastEndX === 0 disables leading-space insertion; see
+span_builder.show_text).
 """
 
 from __future__ import annotations
-
-import difflib
-import os
 
 import pytest
 
@@ -22,16 +19,6 @@ INPUT = "/root/reference/src/test/resources/input"
 EXPECTED = "/root/reference/src/test/resources/output"
 
 CORPUS = ["1301.4293", "C04-1204", "test24", "test25"]
-
-# doc -> list of (golden_index, golden_text, engine_text)
-KNOWN_DIVERGENCES = {
-    "C04-1204": [
-        (2508, ")", " )"),
-        (2519, ")", " )"),
-        (2566, ")", " )"),
-        (2901, ")", " )"),
-    ],
-}
 
 MEDIA_COUNTS = {"1301.4293": 11, "C04-1204": 68, "test24": 15, "test25": 11}
 
@@ -47,13 +34,7 @@ def _load(doc):
 def test_golden_span_equality(doc):
     spans, golden = _load(doc)
     mine = [s[1] for s in spans if s[0] == "text"]
-    allowed = KNOWN_DIVERGENCES.get(doc, [])
-    if not allowed:
-        assert mine == golden, f"{doc}: span sequence diverges"
-        return
-    assert len(mine) == len(golden)
-    diffs = [(i, g, m) for i, (g, m) in enumerate(zip(golden, mine)) if g != m]
-    assert diffs == allowed, f"{doc}: divergence set changed: {diffs[:10]}"
+    assert mine == golden, f"{doc}: span sequence diverges"
 
 
 @pytest.mark.parametrize("doc", CORPUS)
