@@ -146,6 +146,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# Queries intentionally absent from oracle_sql(), with why SQL cannot
+# express them (the driver records a rows-only check for these):
+#   extract_corpus / extract_corpus_split / pdf_metadata — operate on the
+#     PDF byte corpus, which is not among the driver's 10 registered
+#     DuckDB views; correctness is enforced instead by golden
+#     span-sequence equality in tests/test_golden.py (4/4 docs exact) and
+#     the split-path digest-equality test.
+#   dedup_minhash — 64 seeded random permutations over 61-bit shingle
+#     hashes (wraparound uint64 arithmetic); DuckDB integer ops trap on
+#     overflow, so the signatures are not reproducible in SQL.  Validated
+#     by the planted-near-dup pytest.
+#   ann_ivf — k-means coarse quantizer (iterative, not SQL-expressible);
+#     validated by recall-vs-bruteforce pytest, and ann_bruteforce (same
+#     kernel, exhaustive) has a full oracle.
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": """

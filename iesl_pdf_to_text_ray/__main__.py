@@ -31,7 +31,8 @@ def main(argv=None) -> int:
                     help="PDF file or directory of PDFs")
     ap.add_argument("-o", "--output", default="-",
                     help="output file/dir ('-' = stdout)")
-    ap.add_argument("-f", "--format", choices=["jsonl", "parquet", "text"],
+    ap.add_argument("-f", "--format",
+                    choices=["jsonl", "parquet", "text", "svg"],
                     default="jsonl")
     ap.add_argument("-p", "--per-page", action="store_true",
                     help="emit one record per page instead of per document")
@@ -42,7 +43,26 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from .pdf.extractor import (count_pages, extract_metadata, extract_spans,
-                                extract_plain_text)
+                                extract_plain_text, extract_svg)
+
+    if args.format == "svg":
+        # reference CLI product parity: one SVG per document (cli.js), or
+        # one per page with -p (node/pdf2svg.js svgdump)
+        out_dir = args.output if args.output != "-" else "."
+        os.makedirs(out_dir, exist_ok=True)
+        for path in _iter_inputs(args.input):
+            doc_id = os.path.splitext(os.path.basename(path))[0]
+            data = open(path, "rb").read()
+            if args.per_page:
+                for p in range(count_pages(data)):
+                    svg = extract_svg(data, (p, p + 1))
+                    with open(os.path.join(out_dir,
+                                           f"{doc_id}-p{p}.svg"), "w") as f:
+                        f.write(svg)
+            else:
+                with open(os.path.join(out_dir, f"{doc_id}.svg"), "w") as f:
+                    f.write(extract_svg(data))
+        return 0
 
     def record(path: str) -> list[dict]:
         doc_id = os.path.splitext(os.path.basename(path))[0]

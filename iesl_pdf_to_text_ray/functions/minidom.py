@@ -16,7 +16,7 @@ from __future__ import annotations
 
 class Element:
     __slots__ = ("tag", "children", "parent", "text_chunks", "x_coords",
-                 "y", "media_ref")
+                 "y", "media_ref", "font_size", "font_name")
 
     def __init__(self, tag: str):
         self.tag = tag
@@ -29,6 +29,8 @@ class Element:
         self.x_coords: list[float] = []
         self.y: float | None = None
         self.media_ref: str = ""
+        self.font_size: float = 0.0
+        self.font_name: str = ""
 
     def append_child(self, child: "Element") -> None:
         # DOM appendChild: if the node is already in a tree, it is first

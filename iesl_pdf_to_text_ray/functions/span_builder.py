@@ -36,7 +36,7 @@ class _State:
 
     __slots__ = (
         "x", "y", "line_x", "line_y",
-        "font_size", "font_matrix0",
+        "font_size", "font_matrix0", "font_name",
         "char_spacing", "word_spacing", "text_hscale", "font_direction",
         "leading", "pending_clip",
         "tspan", "txt_element", "txtgrp", "element", "tm_scale",
@@ -49,6 +49,7 @@ class _State:
         self.line_y = 0.0
         self.font_size = 0.0
         self.font_matrix0 = FONT_IDENTITY_MATRIX0
+        self.font_name = ""
         self.char_spacing = 0.0
         self.word_spacing = 0.0
         self.text_hscale = 1.0
@@ -116,7 +117,8 @@ class SpanBuilder:
             self.pgrp.append_child(self.tgrp)
         self.tgrp = Element("g")
 
-    def set_font(self, size: float, font_matrix0: float | None) -> None:
+    def set_font(self, size: float, font_matrix0: float | None,
+                 name: str = "") -> None:
         cur = self.current
         cur.font_matrix0 = (font_matrix0 if font_matrix0 is not None
                             else FONT_IDENTITY_MATRIX0)
@@ -126,6 +128,7 @@ class SpanBuilder:
         else:
             cur.font_direction = 1.0
         cur.font_size = size
+        cur.font_name = name
         cur.tspan = Element("tspan")
 
     def move_text(self, dx: float, dy: float) -> None:
@@ -220,6 +223,8 @@ class SpanBuilder:
                         tspan.x_coords.append(-1.0)
                 if tspan.y is None:
                     tspan.y = cur.y
+                    tspan.font_size = font_size
+                    tspan.font_name = cur.font_name
                 chunks.append(uni)
                 tspan.x_coords.append(cur.x + x * hscale)
                 emitted_glyph = True

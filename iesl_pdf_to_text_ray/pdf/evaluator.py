@@ -83,7 +83,7 @@ class PageInterpreter:
         fm0 = None
         if f is not None and f.font_matrix:
             fm0 = f.font_matrix[0]
-        self.builder.set_font(size, fm0)
+        self.builder.set_font(size, fm0, name=(f.name if f else ""))
 
     # -- main loop ---------------------------------------------------------
 

@@ -67,6 +67,23 @@ def extract_metadata(pdf_bytes: bytes) -> dict:
     return out
 
 
+def extract_svg(pdf_bytes: bytes, page_range: tuple[int, int] | None = None,
+                password: bytes = b"") -> str:
+    """Whole-document SVG artifact (reference cli.js/pdfToSvg.js product):
+    per-page groups of svg:text/svg:tspan with x arrays (-1 sentinels), y
+    and font attributes — the grep-able positional output of
+    docs/svg-syntax.md."""
+    from ..functions.svg_out import document_svg, page_svg
+    doc = PdfDocument(pdf_bytes, password=password)
+    pages = doc.pages
+    if page_range is not None:
+        pages = pages[page_range[0]:page_range[1]]
+    font_cache: dict = {}
+    groups = [page_svg(interpret_page(doc.xref, page, font_cache))
+              for page in pages]
+    return document_svg(groups)
+
+
 def extract_plain_text(pdf_bytes: bytes) -> str:
     """Plain-text rendition: text spans joined with single spaces (the
     getinfo.js text dump joins getTextContent items with ' ';
