@@ -207,62 +207,70 @@ def ngram_set(text: str, k: int = SHINGLE_K) -> set:
     return {" ".join(toks[i:i + k]) for i in range(max(1, len(toks) - k + 1))}
 
 
-def shingle_prefix_explode(batch: pa.Table,
-                           threshold: float = 0.4) -> pa.Table:
+N_PREFIX_PARTS = 16   # prefix-join partitions; scale with cluster width
+
+
+def shingle_prefix_explode(batch: pa.Table, threshold: float = 0.4,
+                           n_parts: int = N_PREFIX_PARTS) -> pa.Table:
     """Prefix-filtering explode for the exact set-similarity join
     (SSJoin/PPJoin principle): shingle sets sorted in a global order
     (ascending hash); any pair with Jaccard >= t must share an element
     within each set's first ``|S| - ceil(t*|S|) + 1`` shingles, so
-    grouping by prefix shingle has *provably complete* recall — unlike a
-    single min-shingle bucket.  Emits (shingle, doc_id, sh: sorted hash
-    array) — one row per prefix shingle per doc.  Skew note: ordering by
-    global shingle frequency (rarest first) instead of hash would shrink
-    hot buckets further; hash order keeps it one-pass."""
+    bucketing by prefix shingle has *provably complete* recall — unlike a
+    single min-shingle bucket.
+
+    Payload discipline: ONE row per (partition, doc) — a doc's prefix
+    shingles are grouped by their hash partition and shipped together
+    with a single copy of the full set, so the shuffled bytes scale with
+    ``#distinct partitions hit`` (~n_parts) instead of prefix length
+    (~0.6|S|).  Skew note: frequency-ordered prefixes (rarest first)
+    would shrink hot buckets further; hash order keeps it one-pass."""
     import math
-    doc_ids = batch.column("doc_id").to_pylist()
+    doc_ids_col = batch.column("doc_id")
     texts = batch.column("text").to_pylist()
     cache: dict = {}
-    out_shingle, out_doc_idx, out_sets = [], [], []
+    out_part, out_doc_idx, out_sets, out_prefix = [], [], [], []
     for i, t in enumerate(texts):
         sh = np.unique(_shingles(t or "", cache=cache))  # sorted distinct
         p = len(sh) - math.ceil(threshold * len(sh)) + 1
         p = max(1, min(p, len(sh)))
-        out_sets.append(sh.astype(np.int64).tolist())
-        for v in sh[:p]:
-            out_shingle.append(int(v))
+        prefix = sh[:p]
+        sh_list = sh.astype(np.int64).tolist()
+        parts = prefix % np.uint64(n_parts)
+        for part in np.unique(parts):
+            out_part.append(int(part))
             out_doc_idx.append(i)
+            out_sets.append(sh_list)
+            out_prefix.append(prefix[parts == part].astype(np.int64)
+                              .tolist())
     idx = pa.array(out_doc_idx, pa.int32())
-    sets_arr = pa.array(out_sets, pa.list_(pa.int64()))
-    sh_arr = np.asarray(out_shingle, dtype=np.int64)
     return pa.table({
-        "shingle": pa.array(sh_arr, pa.int64()),
-        "part": pa.array(sh_arr % N_BUCKET_PARTS, pa.int32()),
-        "doc_id": batch.column("doc_id").take(idx),
-        "sh": sets_arr.take(idx) if len(out_doc_idx) else sets_arr})
+        "part": pa.array(out_part, pa.int32()),
+        "doc_id": doc_ids_col.take(idx),
+        "prefix": pa.array(out_prefix, pa.list_(pa.int64())),
+        "sh": pa.array(out_sets, pa.list_(pa.int64()))})
 
 
 def prefix_pairs_partition(group: pa.Table,
                            threshold: float = 0.4) -> pa.Table:
-    """One coarse partition of prefix-shingle buckets: buckets recovered
-    as sort runs (one Python call per partition, not per shingle), pairs
-    verified by exact Jaccard over sorted shingle-hash arrays (61-bit
-    hashes; collisions negligible)."""
-    n = group.num_rows
-    shingles = np.asarray(group.column("shingle"), dtype=np.int64)
+    """One prefix-join partition: rows are (doc, prefix shingles in this
+    partition, full set).  Build an inverted shingle->docs index, take
+    candidate pairs sharing a prefix shingle, verify by exact Jaccard
+    over the sorted shingle-hash arrays (61-bit; collisions negligible)."""
     doc_ids = group.column("doc_id").to_pylist()
-    order = np.argsort(shingles, kind="stable")
-    ss = shingles[order]
-    run_starts = np.flatnonzero(
-        np.concatenate(([True], ss[1:] != ss[:-1])))
-    run_ends = np.concatenate((run_starts[1:], [n]))
+    prefixes = group.column("prefix").to_pylist()
     sh_col = group.column("sh")
+    inverted: dict[int, list[int]] = {}
+    for i, plist in enumerate(prefixes):
+        for v in plist:
+            inverted.setdefault(v, []).append(i)
     set_cache: dict = {}
     a_out, b_out, j_out = [], [], []
     seen = set()
-    for s, e in zip(run_starts, run_ends):
-        if e - s < 2:
+    for docs in inverted.values():
+        if len(docs) < 2:
             continue
-        idx = sorted(order[s:e], key=lambda i: doc_ids[i])
+        idx = sorted(docs, key=lambda i: doc_ids[i])
         for x in range(len(idx)):
             for y in range(x + 1, len(idx)):
                 i, j = idx[x], idx[y]
