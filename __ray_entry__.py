@@ -103,6 +103,50 @@ def extract_corpus_split_query(sf_dir: str):
     return ds.map_batches(summarize, batch_format="pyarrow")
 
 
+def pdf_media_query(sf_dir: str):
+    """Real multimodal column end-to-end: PDF corpus -> per-image media
+    rows with materialized bytes (PNG-encoded rasters / pass-through
+    JPEG), actor-pool decode stage with payload-aware batch sizing."""
+    import pyarrow as pa
+    import ray.data
+
+    class ExtractMedia:
+        def __init__(self):
+            from iesl_pdf_to_text_ray.pdf import fonts
+            fonts.glyph_list()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from iesl_pdf_to_text_ray.pdf.extractor import extract_media
+            cols = {"doc_id": [], "media_ref": [], "mime": [],
+                    "width": [], "height": [], "n_bytes": []}
+            for doc_id, data in zip(batch.column("doc_id").to_pylist(),
+                                    batch.column("pdf_bytes").to_pylist()):
+                try:
+                    media = extract_media(data)
+                except Exception:
+                    media = []
+                for m in media:
+                    cols["doc_id"].append(doc_id)
+                    cols["media_ref"].append(m["media_ref"])
+                    cols["mime"].append(m["mime"] or "")
+                    cols["width"].append(m["width"])
+                    cols["height"].append(m["height"])
+                    cols["n_bytes"].append(len(m["data"]))
+            return pa.table({
+                "doc_id": pa.array(cols["doc_id"], pa.string()),
+                "media_ref": pa.array(cols["media_ref"], pa.string()),
+                "mime": pa.array(cols["mime"], pa.string()),
+                "width": pa.array(cols["width"], pa.int32()),
+                "height": pa.array(cols["height"], pa.int32()),
+                "n_bytes": pa.array(cols["n_bytes"], pa.int64())})
+
+    ds = ray.data.read_parquet(_corpus_dir())
+    # media payloads are MB-scale: small batches keep batch x concurrency
+    # inside the worker heap
+    return ds.map_batches(ExtractMedia, batch_format="pyarrow",
+                          batch_size=4, concurrency=(1, 4))
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: interleaved spans
     synthesis + normalization over the documents table, fused with the
@@ -135,8 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce": table_ops.ann_bruteforce,
         "ann_ivf": table_ops.ann_ivf,
         "embedding_neardup": table_ops.embedding_neardup,
-        # multimodal plumbing (stub codec)
+        # multimodal
         "media_features": table_ops.media_features,
+        "pdf_media": pdf_media_query,
         "pdf_metadata": pdf_metadata_query,
         # streaming-ish / relational
         "events_hourly": table_ops.events_hourly,
@@ -148,7 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # Queries intentionally absent from oracle_sql(), with why SQL cannot
 # express them (the driver records a rows-only check for these):
-#   extract_corpus / extract_corpus_split / pdf_metadata — operate on the
+#   extract_corpus / extract_corpus_split / pdf_metadata / pdf_media —
+#     operate on the
 #     PDF byte corpus, which is not among the driver's 10 registered
 #     DuckDB views; correctness is enforced instead by golden
 #     span-sequence equality in tests/test_golden.py (4/4 docs exact) and

@@ -45,10 +45,12 @@ class _IState:
 class PageInterpreter:
     """Interprets one page's content (plus nested form XObjects)."""
 
-    def __init__(self, xref, page_index: int, font_cache: dict):
+    def __init__(self, xref, page_index: int, font_cache: dict,
+                 media_sink: dict | None = None):
         self.xref = xref
         self.page_index = page_index
         self.font_cache = font_cache  # doc-level: key -> TranslatedFont
+        self.media_sink = media_sink  # ref -> image source (optional)
         self.builder = SpanBuilder()
         self.state = _IState()
         self.state_stack: list[_IState] = []
@@ -364,6 +366,8 @@ class PageInterpreter:
                     and not has_smask else "image")
         if cache_key is not None:
             cache[cache_key] = (kind, ref)
+        if self.media_sink is not None and ref not in self.media_sink:
+            self.media_sink[ref] = ("xobj", xobj)
         self._replay_image_op(kind, ref)
 
     def _replay_image_op(self, kind: str, ref: str) -> None:
@@ -426,6 +430,8 @@ class PageInterpreter:
                 self.aux_ctr += 1
                 kind, ref = "inline", f"inline_p{self.page_index}_{self.aux_ctr}"
             cache[ck] = (kind, ref)
+        if self.media_sink is not None and ref not in self.media_sink:
+            self.media_sink[ref] = ("inline", d, bytes(data))
         if kind == "mask":
             self.builder.paint_image_mask(ref)
         else:

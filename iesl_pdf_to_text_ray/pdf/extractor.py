@@ -67,6 +67,36 @@ def extract_metadata(pdf_bytes: bytes) -> dict:
     return out
 
 
+def extract_media(pdf_bytes: bytes,
+                  page_range: tuple[int, int] | None = None,
+                  password: bytes = b"") -> list[dict]:
+    """Materialized media bytes per media span: PNG-encoded pixels for
+    decodable rasters, pass-through JPEG for DCT, raw payload with
+    mime=None for codec-less formats (JPX/JBIG2/CCITT).  media_ref values
+    match the span stream exactly (same interpreter, same counters)."""
+    from .evaluator import PageInterpreter
+    from .images import materialize_image
+    doc = PdfDocument(pdf_bytes, password=password)
+    pages = doc.pages
+    if page_range is not None:
+        pages = pages[page_range[0]:page_range[1]]
+    font_cache: dict = {}
+    out: list[dict] = []
+    for page in pages:
+        sink: dict = {}
+        interp = PageInterpreter(doc.xref, page.index, font_cache,
+                                 media_sink=sink)
+        try:
+            interp.run(page.content_bytes(), page.resources)
+        except Exception:
+            pass
+        for ref, source in sink.items():
+            m = materialize_image(source, doc.xref)
+            m["media_ref"] = ref
+            out.append(m)
+    return out
+
+
 def extract_svg(pdf_bytes: bytes, page_range: tuple[int, int] | None = None,
                 password: bytes = b"") -> str:
     """Whole-document SVG artifact (reference cli.js/pdfToSvg.js product):
@@ -85,9 +115,11 @@ def extract_svg(pdf_bytes: bytes, page_range: tuple[int, int] | None = None,
 
 
 def extract_plain_text(pdf_bytes: bytes) -> str:
-    """Plain-text rendition: text spans joined with single spaces (the
-    getinfo.js text dump joins getTextContent items with ' ';
-    /root/reference/src/main/js/node/getinfo.js:51-58).  Built on the
-    golden-validated span sequence rather than a second extraction path."""
-    spans = extract_spans(pdf_bytes)
-    return " ".join(s[1] for s in spans if s[0] == "text")
+    """Plain-text rendition, getinfo.js parity: getTextContent items
+    joined with ' ' (/root/reference/src/main/js/node/getinfo.js:51-58),
+    produced by the item-based extractor in pdf/text_content.py (the
+    reference's second extraction surface, with its own SPACE_FACTOR
+    heuristics — distinct from the golden span path)."""
+    from .text_content import extract_text_content
+    pages = extract_text_content(pdf_bytes)
+    return " ".join(i["str"] for p in pages for i in p["items"])

@@ -1,0 +1,181 @@
+"""Media byte materialization: raster image decode + PNG encode.
+
+Reference behavior: PDFImage decodes rasters and the SVG path re-encodes
+them as PNG data URIs (convertImgDataToPng, pdf.combined.js:19659-19849);
+natively-supported JPEGs pass through unre-encoded (45194-45201).
+
+Scope (SURVEY.md §7.4 revisited): FlateDecode/LZW/A85/AHx/RL rasters with
+DeviceGray/DeviceRGB/Indexed/ICC colorspaces at 1/2/4/8 bits per
+component are decoded to pixels and PNG-encoded (pure zlib, no image
+libraries); DCTDecode passes through as JPEG bytes; JPX/JBIG2/CCITT are
+identified but not decoded (no codecs in this environment — returned with
+``mime=None`` and the raw payload so a downstream stage with codecs can
+finish the job).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from .filters import decode_stream
+from .objects import Stream
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    c = struct.pack(">I", len(data)) + tag + data
+    return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+
+def png_encode(width: int, height: int, pixels: bytes,
+               color_type: int, bit_depth: int = 8,
+               palette: bytes | None = None) -> bytes:
+    """Minimal PNG writer: color_type 0 (gray), 2 (RGB), 3 (indexed)."""
+    bpp = {0: 1, 2: 3, 3: 1}[color_type]
+    row_bytes = (width * bit_depth * bpp + 7) // 8
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter: None
+        raw += pixels[y * row_bytes:(y + 1) * row_bytes]
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += _chunk(b"IHDR", struct.pack(">IIBBBBB", width, height,
+                                       bit_depth, color_type, 0, 0, 0))
+    if color_type == 3 and palette is not None:
+        out += _chunk(b"PLTE", palette)
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+_PASSTHROUGH_JPEG = ("DCTDecode", "DCT")
+_UNSUPPORTED = ("JPXDecode", "JBIG2Decode", "CCITTFaxDecode", "CCF")
+
+
+def _filters_of(d: dict, fetch) -> list[str]:
+    f = fetch(d.get("Filter") or d.get("F"))
+    return [str(x) for x in (f if isinstance(f, list) else [f])
+            if x is not None]
+
+
+def _colorspace_info(cs, fetch):
+    """-> (kind, palette_bytes|None, n_components)"""
+    cs = fetch(cs)
+    name = str(cs) if not isinstance(cs, list) else str(fetch(cs[0]))
+    if isinstance(cs, list):
+        if name == "Indexed":
+            base = fetch(cs[1])
+            lookup = fetch(cs[3])
+            if isinstance(lookup, Stream):
+                lookup = decode_stream(lookup, None)
+            if isinstance(lookup, str):
+                lookup = lookup.encode("latin1")
+            basename = (str(base) if not isinstance(base, list)
+                        else str(fetch(base[0])))
+            if basename in ("DeviceRGB", "CalRGB", "RGB"):
+                return "indexed", bytes(lookup or b""), 1
+            if basename in ("DeviceGray", "CalGray", "G"):
+                # expand gray palette to RGB triples
+                pal = bytes(b for v in (lookup or b"") for b in (v, v, v))
+                return "indexed", pal, 1
+            if basename == "ICCBased":
+                return "indexed", bytes(lookup or b""), 1
+            return None, None, 1
+        if name == "ICCBased":
+            stm = fetch(cs[1])
+            n = fetch(stm.dict.get("N")) if isinstance(stm, Stream) else 3
+            return ({1: "gray", 3: "rgb"}.get(int(n or 3)), None,
+                    int(n or 3))
+    if name in ("DeviceGray", "CalGray", "G"):
+        return "gray", None, 1
+    if name in ("DeviceRGB", "CalRGB", "RGB"):
+        return "rgb", None, 3
+    return None, None, 1
+
+
+def _unpack_bits(data: bytes, width: int, height: int, bpc: int,
+                 ncomp: int, max_out: int) -> bytes | None:
+    """Expand sub-byte samples to 8-bit (per PNG-less consumers)."""
+    if bpc == 8:
+        return data[:width * height * ncomp]
+    out = bytearray()
+    row_bits = width * ncomp * bpc
+    row_bytes = (row_bits + 7) // 8
+    scale = 255 // ((1 << bpc) - 1)
+    for y in range(height):
+        row = data[y * row_bytes:(y + 1) * row_bytes]
+        bits = 0
+        acc = 0
+        produced = 0
+        for byte in row:
+            acc = (acc << 8) | byte
+            bits += 8
+            while bits >= bpc and produced < width * ncomp:
+                bits -= bpc
+                out.append(((acc >> bits) & ((1 << bpc) - 1)) * scale)
+                produced += 1
+        if len(out) > max_out:
+            return None
+    return bytes(out)
+
+
+def materialize_image(source, xref) -> dict:
+    """One media source (from PageInterpreter.media_sink) -> bytes.
+
+    Returns {mime, data, width, height}; mime None = undecodable here
+    (data carries the raw payload for a codec-equipped downstream stage).
+    """
+    fetch = xref.fetch_if_ref
+    if source[0] == "xobj":
+        stm: Stream = source[1]
+        d = stm.dict
+    else:  # inline: ("inline", params_dict, payload)
+        d = source[1]
+        stm = Stream(dict(d), source[2])
+    w = int(fetch(d.get("Width") or d.get("W")) or 0)
+    h = int(fetch(d.get("Height") or d.get("H")) or 0)
+    out = {"mime": None, "data": b"", "width": w, "height": h}
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        return out
+    fl = _filters_of(d, fetch)
+    if any(f in _PASSTHROUGH_JPEG for f in fl):
+        out["mime"] = "image/jpeg"
+        out["data"] = stm.raw
+        return out
+    if any(f in _UNSUPPORTED for f in fl):
+        out["data"] = stm.raw
+        return out
+    try:
+        data = decode_stream(stm, xref)
+    except Exception:
+        return out
+    bpc = int(fetch(d.get("BitsPerComponent") or d.get("BPC")) or 8)
+    if bool(fetch(d.get("ImageMask") or d.get("IM"))):
+        # 1-bit stencil mask -> grayscale PNG
+        px = _unpack_bits(data, w, h, 1, 1, w * h * 4)
+        if px is None:
+            return out
+        out["mime"] = "image/png"
+        out["data"] = png_encode(w, h, px, color_type=0)
+        return out
+    kind, palette, ncomp = _colorspace_info(
+        d.get("ColorSpace") or d.get("CS"), fetch)
+    if kind is None or bpc not in (1, 2, 4, 8):
+        return out
+    px = _unpack_bits(data, w, h, bpc, ncomp, w * h * 4)
+    if px is None or len(px) < w * h * ncomp:
+        return out
+    if kind == "indexed":
+        # palette indices must not be bit-scaled: recompute raw indices
+        if bpc != 8:
+            scale = 255 // ((1 << bpc) - 1)
+            px = bytes(v // scale for v in px)
+        pal = (palette or b"") + b"\x00" * (768 - len(palette or b""))
+        out["mime"] = "image/png"
+        out["data"] = png_encode(w, h, px, color_type=3, palette=pal[:768])
+    elif kind == "gray":
+        out["mime"] = "image/png"
+        out["data"] = png_encode(w, h, px, color_type=0)
+    else:
+        out["mime"] = "image/png"
+        out["data"] = png_encode(w, h, px, color_type=2)
+    return out
