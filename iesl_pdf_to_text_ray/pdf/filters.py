@@ -219,6 +219,12 @@ def decode_stream(stream: Stream, xref=None) -> bytes:
             data = asciihex_decode(data)
         elif fname in ("RunLengthDecode", "RL"):
             data = rle_decode(data)
+        elif fname == "Crypt":
+            # /Crypt stream filter: the default Identity crypt filter is a
+            # no-op here because object-level decryption already ran at
+            # fetch time (XRef._decrypt_object); a named non-Identity CF
+            # would have been applied there too.
+            continue
         elif fname in IMAGE_FILTERS:
             break  # keep encoded; identity only
         # unknown filter: keep as-is

@@ -55,6 +55,23 @@ class XRef:
         if isinstance(enc_ref, Ref):
             self._cache[enc_ref.num] = enc  # keep the raw Encrypt dict
 
+    def _has_identity_crypt(self, sdict: dict) -> bool:
+        """A stream whose /Filter chain names /Crypt with the Identity
+        crypt filter (or no /Name, which defaults to Identity) is exempt
+        from the document-level stream decryption."""
+        f = sdict.get("Filter")
+        filters = f if isinstance(f, list) else [f]
+        if not any(str(x) == "Crypt" for x in filters if x is not None):
+            return False
+        dp = sdict.get("DecodeParms") or sdict.get("DP")
+        parms = dp if isinstance(dp, list) else [dp]
+        for i, x in enumerate(filters):
+            if x is not None and str(x) == "Crypt":
+                p = parms[i] if i < len(parms) else None
+                name = p.get("Name") if isinstance(p, dict) else None
+                return name is None or str(name) == "Identity"
+        return False
+
     def _decrypt_object(self, obj, num: int, gen: int):
         """Recursively decrypt strings (and stream bytes) of a fetched
         top-level object.  Objects inside object streams are NOT
@@ -72,6 +89,8 @@ class XRef:
                 return obj
             if t == "Metadata" and not h.encrypt_metadata:
                 return obj
+            if self._has_identity_crypt(obj.dict):
+                return obj  # per-stream /Crypt Identity override
             obj.raw = h.decrypt_stream(num, gen, obj.raw)
             return obj
         if isinstance(obj, dict):
