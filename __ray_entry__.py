@@ -185,8 +185,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_metadata": pdf_metadata_query,
         # streaming-ish / relational
         "events_hourly": table_ops.events_hourly,
+        "events_sliding": table_ops.events_sliding,
         "events_sessionize": table_ops.events_sessionize,
+        "distinct_users": table_ops.distinct_users,
+        "distinct_users_hll": table_ops.distinct_users_hll,
         "revenue_by_nation": table_ops.revenue_by_nation,
+        "order_revenue": table_ops.order_revenue,
         "pricing_summary": table_ops.pricing_summary,
     }
 
@@ -416,6 +420,30 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_sliding": """
+            WITH x AS (
+              SELECT CAST(date_trunc('hour', ts)
+                          - k.k * INTERVAL 1 HOUR AS VARCHAR)
+                         AS window_start,
+                     value
+              FROM events, (SELECT unnest([0, 1, 2]) AS k) k)
+            SELECT window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM x GROUP BY window_start
+        """,
+        "distinct_users": """
+            SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events
+        """,
+        "order_revenue": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'O'
+            GROUP BY o_orderkey, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
         """,
         "revenue_by_nation": """
             SELECT n.n_name AS nation,

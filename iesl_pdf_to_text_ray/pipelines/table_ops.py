@@ -370,6 +370,171 @@ def pricing_summary(sf_dir: str):
     return ds.map_batches(rename, batch_format="pyarrow")
 
 
+def order_revenue(sf_dir: str, k: int = 10):
+    """TPC-H Q3-flavored large-x-large join: open orders x lineitem via
+    the partitioned hash join (pipelines/joins.py — both sides shuffled
+    once by key hash, merged vectorized per partition), then revenue per
+    order and top-k.  The per-order aggregation happens inside the join
+    output via partial combiners, so the second shuffle is O(orders)."""
+    from .joins import hash_join
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus",
+                            "o_orderpriority"])
+
+    def only_open(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.equal(batch.column("o_orderstatus"), "O"))
+
+    orders = orders.map_batches(only_open, batch_format="pyarrow")
+    orders = orders.select_columns(["o_orderkey", "o_orderpriority"])
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_extendedprice",
+                              "l_discount"])
+    joined = hash_join(orders, lineitem,
+                       "o_orderkey", "l_orderkey", n_parts=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["o_orderkey", "o_orderpriority"],
+                       as_index=False).agg(part_rev=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_ORDER_REV_PARTIAL_SCHEMA)
+
+    from ray.data.aggregate import Sum
+    ds = joined.map_batches(partial, batch_format="pyarrow")
+    ds = ds.groupby(["o_orderkey", "o_orderpriority"]).aggregate(
+        Sum("part_rev"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "o_orderkey": batch.column("o_orderkey"),
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "revenue": pc.round(batch.column("sum(part_rev)"), 2)})
+    ds = ds.map_batches(rename, batch_format="pyarrow")
+    return ds.sort(["revenue", "o_orderkey"],
+                   descending=[True, False]).limit(k)
+
+
+def events_sliding(sf_dir: str, window_hours: int = 3):
+    """Sliding-window aggregate (hourly step, 3h width): each event
+    explodes to its covering windows inside map_batches (vectorized
+    repeat), partial per-batch combiners, then an O(windows) groupby."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def explode_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        base = df["ts"].dt.floor("h")
+        frames = []
+        for k in range(window_hours):
+            w = base - pd.to_timedelta(k, unit="h")
+            frames.append(pd.DataFrame({
+                "window_start": w.dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "value": df["value"]}))
+        all_w = pd.concat(frames, ignore_index=True)
+        g = all_w.groupby("window_start", as_index=False).agg(
+            part_n=("value", "size"), part_sum=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_SLIDING_PARTIAL_SCHEMA)
+
+    from ray.data.aggregate import Sum
+    ds = ds.map_batches(explode_partial, batch_format="pyarrow")
+    ds = ds.groupby("window_start").aggregate(Sum("part_n"),
+                                              Sum("part_sum"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "window_start": batch.column("window_start"),
+            "n_events": batch.column("sum(part_n)").cast(pa.int64()),
+            "sum_value": pc.round(batch.column("sum(part_sum)"), 6)})
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+def distinct_users(sf_dir: str):
+    """Exact distinct count, fully streaming: per-batch dedup (combiner)
+    -> hash groupby collapses to one row per user -> count rows with a
+    constant-key aggregate.  The shuffle carries at most one row per
+    distinct key per block, never the raw events."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def batch_unique(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.asarray(batch.column("user_id")))
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    from ray.data.aggregate import Count
+    ds = ds.map_batches(batch_unique, batch_format="pyarrow")
+    ds = ds.groupby("user_id").aggregate(Count())
+
+    def one(batch: pa.Table) -> pa.Table:
+        return pa.table({"grp": pa.array([0] * batch.num_rows, pa.int8())})
+
+    ds = ds.map_batches(one, batch_format="pyarrow")
+    ds = ds.groupby("grp").aggregate(Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"n_users": batch.column("count()")
+                        .cast(pa.int64())})
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+_HLL_P = 12   # 4096 registers; ~1.6% standard error
+
+
+def distinct_users_hll(sf_dir: str):
+    """Approximate distinct count via a HyperLogLog sketch: per-batch
+    register arrays (vectorized), merged with elementwise max in one
+    tiny groupby — the constant-size-sketch pattern that replaces the
+    exact path when keys no longer fit a shuffle.  No SQL oracle
+    (approximation); accuracy is pinned against distinct_users in
+    tests/test_operators.py."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    m = 1 << _HLL_P
+
+    def batch_registers(batch: pa.Table) -> pa.Table:
+        ids = np.unique(np.asarray(batch.column("user_id")))
+        h = pd.util.hash_array(ids, hash_key="0123456789123456")
+        idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+        rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
+        # rank = leading zeros of the remaining 64-P bits + 1
+        lz = np.zeros(len(h), dtype=np.int64)
+        cur = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = cur < np.uint64(1 << (64 - shift))
+            lz[mask] += shift
+            cur[mask] = cur[mask] << np.uint64(shift)
+        rank = np.minimum(lz + 1, 64 - _HLL_P + 1)
+        regs = np.zeros(m, dtype=np.int8)
+        np.maximum.at(regs, idx, rank.astype(np.int8))
+        return pa.table({"grp": pa.array([0], pa.int8()),
+                         "regs": pa.array([regs.tolist()],
+                                          pa.list_(pa.int8()))})
+
+    def merge(group: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.int8)
+        for r in group.column("regs").to_pylist():
+            regs = np.maximum(regs, np.asarray(r, dtype=np.int8))
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -regs.astype(np.float64))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)   # small-range correction
+        return pa.table({"n_users_est": pa.array([int(round(est))],
+                                                 pa.int64())})
+
+    ds = ds.map_batches(batch_registers, batch_format="pyarrow")
+    return ds.groupby("grp").map_groups(merge, batch_format="pyarrow")
+
+
+_ORDER_REV_PARTIAL_SCHEMA = pa.schema([
+    ("o_orderkey", pa.int64()), ("o_orderpriority", pa.string()),
+    ("part_rev", pa.float64())])
+_SLIDING_PARTIAL_SCHEMA = pa.schema([
+    ("window_start", pa.string()), ("part_n", pa.int64()),
+    ("part_sum", pa.float64())])
+
+
 # ------------------------------------------------------------------- TPC-H
 
 def revenue_by_nation(sf_dir: str):
