@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": table_ops.distinct_users_hll,
         "revenue_by_nation": table_ops.revenue_by_nation,
         "order_revenue": table_ops.order_revenue,
+        "events_asof_orders": table_ops.events_asof_orders,
         "pricing_summary": table_ops.pricing_summary,
     }
 
@@ -435,6 +436,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_users": """
             SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events
+        """,
+        "events_asof_orders": """
+            SELECT e.event_id, e.user_id,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   coalesce(strftime(o.o_orderdate, '%Y-%m-%d'), '')
+                       AS last_order_date
+            FROM events e ASOF LEFT JOIN (
+                SELECT DISTINCT o_custkey, o_orderdate FROM orders) o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "order_revenue": """
             SELECT o_orderkey, o_orderpriority,

@@ -85,3 +85,60 @@ def hash_join(left, right, left_on: str, right_on: str, *,
                                     schema=out_schema)
 
     return tagged.groupby("part").map_groups(merge, batch_format="pyarrow")
+
+
+def asof_join(left, right, *, left_by: str, right_by: str,
+              left_ts: str, right_ts: str, n_parts: int = 32):
+    """Backward as-of join (each left row matched to the latest right row
+    with ``right_ts <= left_ts`` for the same key): both sides hash-
+    partitioned on the BY key, per-partition vectorized merge_asof.
+    Partitioning assumption: all rows of one key fit one partition group
+    (same contract as the hash join; salt hot keys if not)."""
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_struct = pa.struct(list(zip(l_schema.names, l_schema.types)))
+    r_struct = pa.struct(list(zip(r_schema.names, r_schema.types)))
+
+    def tag(side: int, on: str):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            me = pa.StructArray.from_arrays(
+                [batch.column(c).combine_chunks()
+                 for c in batch.column_names], batch.column_names)
+            return pa.table({
+                "part": pa.array(_part_of(batch.column(on), n_parts),
+                                 pa.int32()),
+                "side": pa.array(np.full(n, side, dtype=np.int8),
+                                 pa.int8()),
+                "l": me if side == 0 else pa.nulls(n, l_struct),
+                "r": me if side == 1 else pa.nulls(n, r_struct)})
+        return f
+
+    tagged = (left.map_batches(tag(0, left_by), batch_format="pyarrow")
+              .union(right.map_batches(tag(1, right_by),
+                                       batch_format="pyarrow")))
+    out_schema = pa.schema(list(zip(l_schema.names, l_schema.types))
+                           + [(n, t) for n, t in zip(r_schema.names,
+                                                     r_schema.types)
+                              if n not in l_schema.names])
+
+    def merge(group: pa.Table) -> pa.Table:
+        sides = np.asarray(group.column("side"))
+        lstruct = group.column("l").combine_chunks().filter(
+            pa.array(sides == 0))
+        rstruct = group.column("r").combine_chunks().filter(
+            pa.array(sides == 1))
+        ldf = pa.Table.from_arrays(
+            lstruct.flatten(), names=l_schema.names).to_pandas()
+        rdf = pa.Table.from_arrays(
+            rstruct.flatten(), names=r_schema.names).to_pandas()
+        ldf = ldf.sort_values(left_ts, kind="mergesort")
+        rdf = rdf.sort_values(right_ts, kind="mergesort")
+        out = pd.merge_asof(ldf, rdf, left_on=left_ts, right_on=right_ts,
+                            left_by=left_by, right_by=right_by,
+                            direction="backward")
+        out = out[[c for c in out_schema.names]]
+        return pa.Table.from_pandas(out, preserve_index=False,
+                                    schema=out_schema)
+
+    return tagged.groupby("part").map_groups(merge, batch_format="pyarrow")

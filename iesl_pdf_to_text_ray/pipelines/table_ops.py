@@ -527,6 +527,41 @@ def distinct_users_hll(sf_dir: str):
     return ds.groupby("grp").map_groups(merge, batch_format="pyarrow")
 
 
+def events_asof_orders(sf_dir: str):
+    """As-of join: each event matched to the user's latest order at or
+    before the event time (pipelines/joins.asof_join — hash-partitioned
+    by user, per-partition vectorized merge_asof).  Output carries the
+    matched order *date* (deterministic under same-date order ties, which
+    an order-key output would not be)."""
+    from .joins import asof_join
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def dedup_dates(batch: pa.Table) -> pa.Table:
+        # per-customer-per-date dedup (combiner): the as-of target is the
+        # date, so one row per (custkey, date) is enough
+        df = batch.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False,
+                                    schema=batch.schema)
+
+    orders = orders.map_batches(dedup_dates, batch_format="pyarrow")
+    joined = asof_join(events, orders, left_by="user_id",
+                       right_by="o_custkey", left_ts="ts",
+                       right_ts="o_orderdate", n_parts=32)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.table({
+            "event_id": pa.array(df["event_id"], pa.int64()),
+            "user_id": pa.array(df["user_id"], pa.int64()),
+            "ts": pa.array(df["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                           pa.string()),
+            "last_order_date": pa.array(
+                df["o_orderdate"].dt.strftime("%Y-%m-%d").fillna(""),
+                pa.string())})
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 _ORDER_REV_PARTIAL_SCHEMA = pa.schema([
     ("o_orderkey", pa.int64()), ("o_orderpriority", pa.string()),
     ("part_rev", pa.float64())])

@@ -147,3 +147,28 @@ def test_hash_join_matches_pandas(ray_session):
     out = out[key].sort_values(key).reset_index(drop=True)
     exp = exp[key].sort_values(key).reset_index(drop=True)
     assert out.equals(exp)
+
+
+def test_asof_join_backward(ray_session):
+    """asof_join == latest right row at-or-before each left ts per key."""
+    import pandas as pd
+    import ray.data
+    from iesl_pdf_to_text_ray.pipelines.joins import asof_join
+    left = pa.table({
+        "k": [1, 1, 2, 3],
+        "t": pd.to_datetime(["2024-01-05", "2024-01-01", "2024-01-04",
+                             "2024-01-02"]),
+        "ev": list("wxyz")})
+    right = pa.table({
+        "kk": [1, 1, 2],
+        "tt": pd.to_datetime(["2024-01-02", "2024-01-04", "2024-01-04"]),
+        "val": [10.0, 20.0, 30.0]})
+    out = _pd(asof_join(ray.data.from_arrow(left),
+                        ray.data.from_arrow(right), left_by="k",
+                        right_by="kk", left_ts="t", right_ts="tt",
+                        n_parts=2)).sort_values("ev").reset_index(drop=True)
+    # w: k=1 @01-05 -> 20.0; x: k=1 @01-01 -> none; y: k=2 @01-04 -> 30.0;
+    # z: k=3 -> none
+    got = {r["ev"]: (None if pd.isna(r["val"]) else r["val"])
+           for _, r in out.iterrows()}
+    assert got == {"w": 20.0, "x": None, "y": 30.0, "z": None}
