@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": table_ops.revenue_by_nation,
         "order_revenue": table_ops.order_revenue,
         "events_asof_orders": table_ops.events_asof_orders,
+        "events_range_pairs": table_ops.events_range_pairs,
         "pricing_summary": table_ops.pricing_summary,
     }
 
@@ -436,6 +437,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_users": """
             SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events
+        """,
+        "events_range_pairs": """
+            SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+                   round(epoch(b.ts - a.ts), 6) AS dt_sec
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(epoch(b.ts - a.ts)) <= 60
         """,
         "events_asof_orders": """
             SELECT e.event_id, e.user_id,

@@ -527,6 +527,85 @@ def distinct_users_hll(sf_dir: str):
     return ds.groupby("grp").map_groups(merge, batch_format="pyarrow")
 
 
+def events_range_pairs(sf_dir: str, window_sec: int = 60):
+    """Range join (self): pairs of same-user events within ``window_sec``
+    of each other.  Banded-bucket plan: each event lands in its
+    ``window_sec`` time bucket and the next one, so any qualifying pair
+    co-occurs in >=1 bucket; buckets are coarse-partitioned and searched
+    with a per-(bucket,user) two-pointer over sorted timestamps; pair
+    dedup (a pair can surface in two buckets) is a tiny groupby."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    w_us = window_sec * 1_000_000
+    n_parts = 64
+
+    def band(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        epoch_us = df["ts"].astype("int64")   # microseconds since epoch
+        bucket = (epoch_us // w_us).to_numpy()
+        out = pd.concat([
+            pd.DataFrame({"bucket": bucket, "event_id": df["event_id"],
+                          "user_id": df["user_id"], "ts_us": epoch_us}),
+            pd.DataFrame({"bucket": bucket + 1, "event_id": df["event_id"],
+                          "user_id": df["user_id"], "ts_us": epoch_us}),
+        ], ignore_index=True)
+        out["part"] = (out["bucket"] % n_parts).astype("int32")
+        return pa.Table.from_pandas(out, preserve_index=False,
+                                    schema=_RANGE_BAND_SCHEMA)
+
+    def pairs(group: pa.Table) -> pa.Table:
+        bucket = np.asarray(group.column("bucket"))
+        user = np.asarray(group.column("user_id"))
+        ts = np.asarray(group.column("ts_us"))
+        ids = np.asarray(group.column("event_id"))
+        order = np.lexsort((ts, ids, user, bucket))
+        b, u, t, e = bucket[order], user[order], ts[order], ids[order]
+        n = len(b)
+        runs = np.flatnonzero(np.concatenate(
+            ([True], (b[1:] != b[:-1]) | (u[1:] != u[:-1]))))
+        ends = np.concatenate((runs[1:], [n]))
+        a_out, b_out, uu, dt = [], [], [], []
+        seen = set()
+        for s, epos in zip(runs, ends):
+            tt, ee = t[s:epos], e[s:epos]
+            for i in range(len(tt)):
+                j = i + 1
+                while j < len(tt) and tt[j] - tt[i] <= w_us:
+                    lo, hi = ((ee[i], ee[j]) if ee[i] < ee[j]
+                              else (ee[j], ee[i]))
+                    if lo != hi and (lo, hi) not in seen:
+                        seen.add((lo, hi))
+                        signed = (tt[j] - tt[i] if ee[i] < ee[j]
+                                  else tt[i] - tt[j])
+                        a_out.append(lo)
+                        b_out.append(hi)
+                        uu.append(u[s])
+                        dt.append(round(signed / 1e6, 6))
+                    j += 1
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64()),
+                         "user_id": pa.array(uu, pa.int64()),
+                         "dt_sec": pa.array(dt, pa.float64())})
+
+    from ray.data.aggregate import Max
+    ds = ds.map_batches(band, batch_format="pyarrow")
+    ds = ds.groupby("part").map_groups(pairs, batch_format="pyarrow")
+    ds = ds.groupby(["id_a", "id_b"]).aggregate(Max("user_id"),
+                                                Max("dt_sec"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"id_a": batch.column("id_a"),
+                         "id_b": batch.column("id_b"),
+                         "user_id": batch.column("max(user_id)"),
+                         "dt_sec": batch.column("max(dt_sec)")})
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+_RANGE_BAND_SCHEMA = pa.schema([
+    ("bucket", pa.int64()), ("event_id", pa.int64()),
+    ("user_id", pa.int64()), ("ts_us", pa.int64()),
+    ("part", pa.int32())])
+
+
 def events_asof_orders(sf_dir: str):
     """As-of join: each event matched to the user's latest order at or
     before the event time (pipelines/joins.asof_join — hash-partitioned
