@@ -1,18 +1,26 @@
 """Distributed joins for Ray Data.
 
 Ray Data (2.49) has no native large-x-large join; this module provides
-the two canonical shapes (SURVEY.md §2.D custom-operator patterns):
+the canonical shapes (SURVEY.md §2.D custom-operator patterns):
 
-* ``broadcast_lookup`` — small side shipped once via ray.put, vectorized
-  searchsorted lookup inside map_batches (used by revenue_by_nation).
+* ``broadcast_lookup`` pattern — small side shipped once via ray.put,
+  vectorized searchsorted lookup inside map_batches (used by
+  revenue_by_nation in table_ops).
 * ``hash_join`` — both sides hash-partitioned on the key into P coarse
-  partitions (each side's rows wrapped in a side-tagged struct so the two
-  schemas can flow through one union), co-located by groupby(part), and
-  merged vectorized (pandas) inside each partition group.  One shuffle,
-  bounded per-task memory (~|L|/P + |R|/P rows), P scales with the
-  cluster.  Skew: a pathologically hot key lands in one partition — salt
-  the key (append hash(row)%k to both sides' keys for the hot values)
-  when a key exceeds the partition budget.
+  partitions, co-located by groupby(part), merged vectorized (pandas)
+  inside each partition group.  The two sides flow through one union with
+  a *flat* combined schema (each side fills the other side's columns with
+  nulls) — flat primitive columns shuffle/sort far faster than
+  struct-wrapped rows.  One shuffle, bounded per-task memory
+  (~|L|/P + |R|/P rows), P scales with the cluster.  Skew: a
+  pathologically hot key lands in one partition — salt the key (append
+  hash(row)%k for the hot values on both sides) when a key exceeds the
+  partition budget.
+* ``asof_join`` — backward as-of (latest right row at-or-before each
+  left timestamp per key) with the same partitioning, merged with
+  pandas merge_asof.
+
+Column names must be disjoint across sides (callers rename first).
 """
 
 from __future__ import annotations
@@ -29,56 +37,55 @@ def _part_of(col: pa.ChunkedArray, n_parts: int) -> np.ndarray:
     return (h % np.uint64(n_parts)).astype(np.int32)
 
 
-def hash_join(left, right, left_on: str, right_on: str, *,
-              n_parts: int = 32, how: str = "inner"):
-    """left/right: ray.data.Datasets.  Returns a Dataset whose columns are
-    the union of both sides' columns (right join key dropped when names
-    collide is left to the caller via select_columns)."""
+def _flat_union(left, right, left_key: str, right_key: str, n_parts: int):
+    """Tag + widen both sides to one flat schema; returns (tagged_ds,
+    l_names, r_names, out_schema)."""
     l_schema = left.schema()
     r_schema = right.schema()
-    l_struct = pa.struct(list(zip(l_schema.names, l_schema.types)))
-    r_struct = pa.struct(list(zip(r_schema.names, r_schema.types)))
+    l_fields = list(zip(l_schema.names, l_schema.types))
+    r_fields = [(n, t) for n, t in zip(r_schema.names, r_schema.types)
+                if n not in l_schema.names]
+    out_schema = pa.schema(l_fields + r_fields)
 
     def tag(side: int, on: str):
         def f(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            me = pa.StructArray.from_arrays(
-                [batch.column(c).combine_chunks() for c in
-                 batch.column_names],
-                batch.column_names)
-            left_col = (me if side == 0
-                        else pa.nulls(n, l_struct))
-            right_col = (me if side == 1
-                         else pa.nulls(n, r_struct))
-            return pa.table({
+            cols = {
                 "part": pa.array(_part_of(batch.column(on), n_parts),
                                  pa.int32()),
                 "side": pa.array(np.full(n, side, dtype=np.int8),
-                                 pa.int8()),
-                "l": left_col, "r": right_col})
+                                 pa.int8())}
+            mine = set(batch.column_names)
+            for name, t in l_fields + r_fields:
+                cols[name] = (batch.column(name) if name in mine
+                              else pa.nulls(n, t))
+            return pa.table(cols)
         return f
 
-    tagged = (left.map_batches(tag(0, left_on), batch_format="pyarrow")
-              .union(right.map_batches(tag(1, right_on),
+    tagged = (left.map_batches(tag(0, left_key), batch_format="pyarrow")
+              .union(right.map_batches(tag(1, right_key),
                                        batch_format="pyarrow")))
+    return tagged, l_schema.names, list(r_schema.names), out_schema
 
-    # pinned output schema (column names must be disjoint across sides)
-    out_schema = pa.schema(list(zip(l_schema.names, l_schema.types))
-                           + [(n, t) for n, t in zip(r_schema.names,
-                                                     r_schema.types)
-                              if n not in l_schema.names])
+
+def _split_sides(group: pa.Table, l_names, r_names):
+    sides = np.asarray(group.column("side"))
+    lmask = pa.array(sides == 0)
+    rmask = pa.array(sides == 1)
+    ldf = group.select(l_names).filter(lmask).to_pandas()
+    rdf = group.select(r_names).filter(rmask).to_pandas()
+    return ldf, rdf
+
+
+def hash_join(left, right, left_on: str, right_on: str, *,
+              n_parts: int = 32, how: str = "inner"):
+    """left/right: ray.data.Datasets with disjoint column names.  Returns
+    a Dataset with the union of both sides' columns."""
+    tagged, l_names, r_names, out_schema = _flat_union(
+        left, right, left_on, right_on, n_parts)
 
     def merge(group: pa.Table) -> pa.Table:
-        sides = np.asarray(group.column("side"))
-        lmask, rmask = sides == 0, sides == 1
-        lstruct = group.column("l").combine_chunks().filter(
-            pa.array(lmask))
-        rstruct = group.column("r").combine_chunks().filter(
-            pa.array(rmask))
-        ldf = pa.Table.from_arrays(
-            lstruct.flatten(), names=l_schema.names).to_pandas()
-        rdf = pa.Table.from_arrays(
-            rstruct.flatten(), names=r_schema.names).to_pandas()
+        ldf, rdf = _split_sides(group, l_names, r_names)
         out = ldf.merge(rdf, left_on=left_on, right_on=right_on, how=how)
         out = out[[c for c in out_schema.names]]
         return pa.Table.from_pandas(out, preserve_index=False,
@@ -89,49 +96,15 @@ def hash_join(left, right, left_on: str, right_on: str, *,
 
 def asof_join(left, right, *, left_by: str, right_by: str,
               left_ts: str, right_ts: str, n_parts: int = 32):
-    """Backward as-of join (each left row matched to the latest right row
-    with ``right_ts <= left_ts`` for the same key): both sides hash-
-    partitioned on the BY key, per-partition vectorized merge_asof.
-    Partitioning assumption: all rows of one key fit one partition group
-    (same contract as the hash join; salt hot keys if not)."""
-    l_schema = left.schema()
-    r_schema = right.schema()
-    l_struct = pa.struct(list(zip(l_schema.names, l_schema.types)))
-    r_struct = pa.struct(list(zip(r_schema.names, r_schema.types)))
-
-    def tag(side: int, on: str):
-        def f(batch: pa.Table) -> pa.Table:
-            n = batch.num_rows
-            me = pa.StructArray.from_arrays(
-                [batch.column(c).combine_chunks()
-                 for c in batch.column_names], batch.column_names)
-            return pa.table({
-                "part": pa.array(_part_of(batch.column(on), n_parts),
-                                 pa.int32()),
-                "side": pa.array(np.full(n, side, dtype=np.int8),
-                                 pa.int8()),
-                "l": me if side == 0 else pa.nulls(n, l_struct),
-                "r": me if side == 1 else pa.nulls(n, r_struct)})
-        return f
-
-    tagged = (left.map_batches(tag(0, left_by), batch_format="pyarrow")
-              .union(right.map_batches(tag(1, right_by),
-                                       batch_format="pyarrow")))
-    out_schema = pa.schema(list(zip(l_schema.names, l_schema.types))
-                           + [(n, t) for n, t in zip(r_schema.names,
-                                                     r_schema.types)
-                              if n not in l_schema.names])
+    """Backward as-of join: each left row matched to the latest right row
+    with ``right_ts <= left_ts`` for the same key.  Partitioning
+    assumption: all rows of one key fit one partition group (same
+    contract as the hash join; salt hot keys if not)."""
+    tagged, l_names, r_names, out_schema = _flat_union(
+        left, right, left_by, right_by, n_parts)
 
     def merge(group: pa.Table) -> pa.Table:
-        sides = np.asarray(group.column("side"))
-        lstruct = group.column("l").combine_chunks().filter(
-            pa.array(sides == 0))
-        rstruct = group.column("r").combine_chunks().filter(
-            pa.array(sides == 1))
-        ldf = pa.Table.from_arrays(
-            lstruct.flatten(), names=l_schema.names).to_pandas()
-        rdf = pa.Table.from_arrays(
-            rstruct.flatten(), names=r_schema.names).to_pandas()
+        ldf, rdf = _split_sides(group, l_names, r_names)
         ldf = ldf.sort_values(left_ts, kind="mergesort")
         rdf = rdf.sort_values(right_ts, kind="mergesort")
         out = pd.merge_asof(ldf, rdf, left_on=left_ts, right_on=right_ts,
