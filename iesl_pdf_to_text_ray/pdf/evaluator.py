@@ -65,6 +65,9 @@ class PageInterpreter:
         key = None
         if isinstance(font_obj, Ref):
             key = ("ref", font_obj.num, font_obj.gen)
+            f = self.font_cache.get(key)
+            if f is not None:      # hot path: Tf re-selects a known font
+                return f
         font_dict = self.xref.fetch_if_ref(font_obj)
         if not isinstance(font_dict, dict):
             return None
