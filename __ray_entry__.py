@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": table_ops.distinct_users_hll,
         "revenue_by_nation": table_ops.revenue_by_nation,
         "order_revenue": table_ops.order_revenue,
+        "local_supplier_revenue": table_ops.local_supplier_revenue,
+        "sample_documents": table_ops.sample_documents,
         "events_asof_orders": table_ops.events_asof_orders,
         "events_range_pairs": table_ops.events_range_pairs,
         "pricing_summary": table_ops.pricing_summary,
@@ -437,6 +439,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_users": """
             SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events
+        """,
+        "sample_documents": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                  % 100 < 10
+        """,
+        "local_supplier_revenue": """
+            SELECT n.n_name AS nation,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY n.n_name
         """,
         "events_range_pairs": """
             SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,

@@ -527,6 +527,107 @@ def distinct_users_hll(sf_dir: str):
     return ds.groupby("grp").map_groups(merge, batch_format="pyarrow")
 
 
+def sample_documents(sf_dir: str, pct: int = 10):
+    """Deterministic hash sampling (md5(doc_id) bucket < pct%): the
+    reproducible corpus-subset operator — same rows on every engine and
+    every run, unlike random_sample.  Fully streaming filter."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keep = [int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+                % 100 < pct for d in ids]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5-flavored: revenue from lineitems whose supplier and
+    ordering customer share a nation, grouped by nation — composes the
+    partitioned hash join (orders x lineitem, both large) with broadcast
+    maps for the three small dimensions (supplier/customer -> nationkey,
+    nation -> name), then partial-combined aggregation."""
+    import pyarrow.parquet as pq
+    import ray
+    from .joins import hash_join
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+
+    def _sorted_map(keys, vals):
+        k = np.asarray(keys, dtype=np.int64)
+        v = np.asarray(vals)
+        o = np.argsort(k)
+        return k[o], v[o]
+
+    sk, sv = _sorted_map(supp.column("s_suppkey"),
+                         np.asarray(supp.column("s_nationkey"),
+                                    dtype=np.int64))
+    ck, cv = _sorted_map(cust.column("c_custkey"),
+                         np.asarray(cust.column("c_nationkey"),
+                                    dtype=np.int64))
+    nkeys = np.asarray(nation.column("n_nationkey"), dtype=np.int64)
+    nnames = np.empty(nkeys.max() + 1, dtype=object)
+    nnames[nkeys] = np.asarray(nation.column("n_name").to_pylist(),
+                               dtype=object)
+    maps_ref = ray.put({"sk": sk, "sv": sv, "ck": ck, "cv": cv,
+                        "nn": nnames})
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    lineitem = _read(sf_dir, "lineitem",
+                     columns=["l_orderkey", "l_suppkey",
+                              "l_extendedprice", "l_discount"])
+    joined = hash_join(orders, lineitem, "o_orderkey", "l_orderkey",
+                       n_parts=32)
+
+    class LocalAgg:
+        def __init__(self):
+            m = ray.get(maps_ref)
+            self.sk, self.sv = m["sk"], m["sv"]
+            self.ck, self.cv = m["ck"], m["cv"]
+            self.nn = m["nn"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            s_nat = self.sv[np.clip(np.searchsorted(
+                self.sk, df["l_suppkey"].to_numpy()), 0,
+                len(self.sk) - 1)]
+            c_nat = self.cv[np.clip(np.searchsorted(
+                self.ck, df["o_custkey"].to_numpy()), 0,
+                len(self.ck) - 1)]
+            local = s_nat == c_nat
+            df = df[local]
+            df = df.assign(
+                nation=self.nn[s_nat[local]],
+                rev=df["l_extendedprice"] * (1 - df["l_discount"]))
+            g = df.groupby("nation", as_index=False).agg(
+                part_rev=("rev", "sum"), part_n=("rev", "size"))
+            return pa.Table.from_pandas(g, preserve_index=False,
+                                        schema=_LOCAL_REV_PARTIAL_SCHEMA)
+
+    from ray.data.aggregate import Sum
+    ds = joined.map_batches(LocalAgg, batch_format="pyarrow",
+                            concurrency=(1, 4))
+    ds = ds.groupby("nation").aggregate(Sum("part_rev"), Sum("part_n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "nation": batch.column("nation"),
+            "revenue": pc.round(batch.column("sum(part_rev)"), 2),
+            "n_items": batch.column("sum(part_n)").cast(pa.int64())})
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+_LOCAL_REV_PARTIAL_SCHEMA = pa.schema([
+    ("nation", pa.string()), ("part_rev", pa.float64()),
+    ("part_n", pa.int64())])
+
+
 def events_range_pairs(sf_dir: str, window_sec: int = 60):
     """Range join (self): pairs of same-user events within ``window_sec``
     of each other.  Banded-bucket plan: each event lands in its
