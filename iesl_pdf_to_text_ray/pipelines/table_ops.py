@@ -313,7 +313,13 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user: a new session starts when the gap from the
     previous event exceeds ``gap_minutes``.  groupby(user_id).map_groups
     with an in-group sort — the canonical stateful windowed aggregate the
-    Dataset API lacks natively (SURVEY.md §2 custom-operator pattern (a))."""
+    Dataset API lacks natively (SURVEY.md §2 custom-operator pattern (a)).
+
+    Skew exposure: one user's events form one group, so a bot user with
+    10^8 events lands in a single task.  The 100 TB mitigation is
+    two-level: pre-split such users by coarse time range (day), sessionize
+    within ranges, then stitch boundary sessions in a second tiny pass —
+    wire it when a corpus-wide per-key cap shows hot users."""
     import pandas as pd
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
