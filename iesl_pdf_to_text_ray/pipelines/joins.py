@@ -78,18 +78,29 @@ def _split_sides(group: pa.Table, l_names, r_names):
 
 
 def hash_join(left, right, left_on: str, right_on: str, *,
-              n_parts: int = 32, how: str = "inner"):
+              n_parts: int = 32, how: str = "inner",
+              merge_post=None, post_schema: pa.Schema | None = None):
     """left/right: ray.data.Datasets with disjoint column names.  Returns
-    a Dataset with the union of both sides' columns."""
+    a Dataset with the union of both sides' columns.
+
+    ``merge_post(df) -> df``: optional per-partition post-processing of
+    the joined frame (with ``post_schema`` pinning its output).  Because a
+    join key's rows are fully co-located in one partition, key-grouped
+    aggregation/top-k folded in here is *exact* and removes the second
+    shuffle over the raw join output — the partial-within-the-join
+    pattern."""
     tagged, l_names, r_names, out_schema = _flat_union(
         left, right, left_on, right_on, n_parts)
+    schema = post_schema if merge_post is not None else out_schema
 
     def merge(group: pa.Table) -> pa.Table:
         ldf, rdf = _split_sides(group, l_names, r_names)
         out = ldf.merge(rdf, left_on=left_on, right_on=right_on, how=how)
-        out = out[[c for c in out_schema.names]]
+        if merge_post is not None:
+            out = merge_post(out)
+        out = out[[c for c in schema.names]]
         return pa.Table.from_pandas(out, preserve_index=False,
-                                    schema=out_schema)
+                                    schema=schema)
 
     return tagged.groupby("part").map_groups(merge, batch_format="pyarrow")
 

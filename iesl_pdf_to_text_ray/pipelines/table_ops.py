@@ -396,29 +396,22 @@ def order_revenue(sf_dir: str, k: int = 10):
     lineitem = _read(sf_dir, "lineitem",
                      columns=["l_orderkey", "l_extendedprice",
                               "l_discount"])
-    joined = hash_join(orders, lineitem,
-                       "o_orderkey", "l_orderkey", n_parts=32)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+    def per_order_topk(df):
+        # an order's lineitems are fully co-located in this partition, so
+        # per-order revenue here is exact — and every global top-k order
+        # lives wholly in one partition, so a local top-k is a lossless
+        # partial: the second shuffle carries n_parts*k rows, not O(rows)
+        df = df.assign(rev=df["l_extendedprice"] * (1 - df["l_discount"]))
         g = df.groupby(["o_orderkey", "o_orderpriority"],
-                       as_index=False).agg(part_rev=("rev", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False,
-                                    schema=_ORDER_REV_PARTIAL_SCHEMA)
+                       as_index=False).agg(revenue=("rev", "sum"))
+        g["revenue"] = g["revenue"].round(2)
+        return g.sort_values(["revenue", "o_orderkey"],
+                             ascending=[False, True]).head(k)
 
-    from ray.data.aggregate import Sum
-    ds = joined.map_batches(partial, batch_format="pyarrow")
-    ds = ds.groupby(["o_orderkey", "o_orderpriority"]).aggregate(
-        Sum("part_rev"))
-
-    def rename(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return pa.table({
-            "o_orderkey": batch.column("o_orderkey"),
-            "o_orderpriority": batch.column("o_orderpriority"),
-            "revenue": pc.round(batch.column("sum(part_rev)"), 2)})
-    ds = ds.map_batches(rename, batch_format="pyarrow")
+    ds = hash_join(orders, lineitem, "o_orderkey", "l_orderkey",
+                   n_parts=32, merge_post=per_order_topk,
+                   post_schema=_ORDER_REV_SCHEMA)
     return ds.sort(["revenue", "o_orderkey"],
                    descending=[True, False]).limit(k)
 
@@ -587,37 +580,27 @@ def local_supplier_revenue(sf_dir: str):
     lineitem = _read(sf_dir, "lineitem",
                      columns=["l_orderkey", "l_suppkey",
                               "l_extendedprice", "l_discount"])
-    joined = hash_join(orders, lineitem, "o_orderkey", "l_orderkey",
-                       n_parts=32)
 
-    class LocalAgg:
-        def __init__(self):
-            m = ray.get(maps_ref)
-            self.sk, self.sv = m["sk"], m["sv"]
-            self.ck, self.cv = m["ck"], m["cv"]
-            self.nn = m["nn"]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            s_nat = self.sv[np.clip(np.searchsorted(
-                self.sk, df["l_suppkey"].to_numpy()), 0,
-                len(self.sk) - 1)]
-            c_nat = self.cv[np.clip(np.searchsorted(
-                self.ck, df["o_custkey"].to_numpy()), 0,
-                len(self.ck) - 1)]
-            local = s_nat == c_nat
-            df = df[local]
-            df = df.assign(
-                nation=self.nn[s_nat[local]],
-                rev=df["l_extendedprice"] * (1 - df["l_discount"]))
-            g = df.groupby("nation", as_index=False).agg(
-                part_rev=("rev", "sum"), part_n=("rev", "size"))
-            return pa.Table.from_pandas(g, preserve_index=False,
-                                        schema=_LOCAL_REV_PARTIAL_SCHEMA)
+    def local_partial(df):
+        # folded into the join's partition merge: broadcast maps resolved
+        # from the object store per task (local plasma hit, zero-copy)
+        m = ray.get(maps_ref)
+        sk, sv, ck, cv, nn = m["sk"], m["sv"], m["ck"], m["cv"], m["nn"]
+        s_nat = sv[np.clip(np.searchsorted(sk, df["l_suppkey"].to_numpy()),
+                           0, len(sk) - 1)]
+        c_nat = cv[np.clip(np.searchsorted(ck, df["o_custkey"].to_numpy()),
+                           0, len(ck) - 1)]
+        local = s_nat == c_nat
+        df = df[local]
+        df = df.assign(nation=nn[s_nat[local]],
+                       rev=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return df.groupby("nation", as_index=False).agg(
+            part_rev=("rev", "sum"), part_n=("rev", "size"))
 
     from ray.data.aggregate import Sum
-    ds = joined.map_batches(LocalAgg, batch_format="pyarrow",
-                            concurrency=(1, 4))
+    ds = hash_join(orders, lineitem, "o_orderkey", "l_orderkey",
+                   n_parts=32, merge_post=local_partial,
+                   post_schema=_LOCAL_REV_PARTIAL_SCHEMA)
     ds = ds.groupby("nation").aggregate(Sum("part_rev"), Sum("part_n"))
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -748,9 +731,9 @@ def events_asof_orders(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
-_ORDER_REV_PARTIAL_SCHEMA = pa.schema([
+_ORDER_REV_SCHEMA = pa.schema([
     ("o_orderkey", pa.int64()), ("o_orderpriority", pa.string()),
-    ("part_rev", pa.float64())])
+    ("revenue", pa.float64())])
 _SLIDING_PARTIAL_SCHEMA = pa.schema([
     ("window_start", pa.string()), ("part_n", pa.int64()),
     ("part_sum", pa.float64())])
