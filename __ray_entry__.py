@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": table_ops.lang_stats,
         "top_longest": table_ops.top_longest,
         "token_stats": table_ops.token_stats,
+        "token_stats_bpe": table_ops.token_stats_bpe,
         "quality_scores": table_ops.quality_scores,
         "doc_fingerprints": table_ops.doc_fingerprints,
         "langid_predict": table_ops.langid_predict,
@@ -239,6 +240,13 @@ def oracle_sql() -> dict[str, str]:
                        AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY lang
+        """,
+        "token_stats_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))::BIGINT
+                       AS bpe_tokens
+            FROM documents
         """,
         "quality_scores": """
             SELECT doc_id,

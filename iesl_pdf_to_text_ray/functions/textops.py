@@ -14,8 +14,9 @@ import numpy as np
 import pyarrow as pa
 
 _TOKEN_RE = re.compile(r"\S+")
-# BPE-ish subword splitter: words, numbers, punctuation runs
-_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+# BPE-ish subword splitter: words, numbers, punctuation runs (ASCII digit
+# classes so the DuckDB oracle regex is byte-identical)
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
 
 # tiny public stopword sets for the language-ID heuristic
 _STOPWORDS = {

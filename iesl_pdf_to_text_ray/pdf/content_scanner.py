@@ -66,20 +66,20 @@ class ContentScanner:
             s = lx._read_hex_string()
             return s, lx.pos
 
+        # finditer drives the common path in C (search semantics also skip
+        # junk bytes like the old pos+=1 loop); the iterator is restarted
+        # only after position jumps — escaped strings, inline dicts, and
+        # BI handlers that consume image payloads — all rare
         pos = self.pos
-        while pos < end:
-            m = match(data, pos)
-            if m is None or m.end() == m.start():
-                pos += 1
-                continue
+        it = _TOKEN_RE.finditer(data, pos)
+        while True:
+            m = next(it, None)
+            if m is None:
+                break
             pos = m.end()
             g = m.lastindex  # 1=num 2=litstr 3=name 4=op 5=hexstr 6=delim
             if g == 1:
-                try:
-                    v = float(m.group(1))
-                except ValueError:
-                    v = 0.0
-                cur.append(v)
+                cur.append(float(m.group(1)))
                 continue
             if g == 2:
                 cur.append(m.group(2))
@@ -108,10 +108,12 @@ class ContentScanner:
                 operands = stack
                 self.pos = pos
                 yield operands, op, m.start(4)
-                pos = self.pos       # handler may have advanced us (BI)
                 stack = []
                 arrays = []
                 cur = stack
+                if self.pos != pos:  # handler consumed bytes (BI...EI)
+                    pos = self.pos
+                    it = _TOKEN_RE.finditer(data, pos)
                 continue
             d = m.group(6)
             if d == b"(":
@@ -122,12 +124,15 @@ class ContentScanner:
                     if b"\\" not in seg and b"(" not in seg:
                         cur.append(seg)
                         pos = j + 1
+                        it = _TOKEN_RE.finditer(data, pos)
                         continue
                 s, pos = read_string(pos)
                 cur.append(s)
+                it = _TOKEN_RE.finditer(data, pos)
             elif d == b"<":
                 s, pos = read_hex(pos)
                 cur.append(s)
+                it = _TOKEN_RE.finditer(data, pos)
             elif d == b"[":
                 arrays.append(cur)
                 new: list = []
@@ -143,5 +148,6 @@ class ContentScanner:
                 obj = p.get_obj(allow_streams=False)
                 cur.append(obj)
                 pos = p.pos1   # start of the parser's lookahead token
+                it = _TOKEN_RE.finditer(data, pos)
             # '>>', '{', '}', stray ')'/'>': ignore
         # trailing operands without operator are dropped (malformed tail)

@@ -102,6 +102,19 @@ def token_stats(sf_dir: str):
     return ds.map_batches(rename, batch_format="pyarrow")
 
 
+def token_stats_bpe(sf_dir: str):
+    """BPE-ish subword token counts (words / numbers / punctuation runs),
+    vectorized pandas-str kernel; complements whitespace token_stats."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(tx.bpe_token_count_batch, batch_format="pyarrow")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "bpe_tokens": batch.column("bpe_token_count").cast(pa.int64())})
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
 def quality_scores(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(tx.quality_batch, batch_format="pyarrow")
