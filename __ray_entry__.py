@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": table_ops.events_hourly,
         "events_sliding": table_ops.events_sliding,
         "events_sessionize": table_ops.events_sessionize,
+        "events_sessionize_scalable": table_ops.events_sessionize_scalable,
         "distinct_users": table_ops.distinct_users,
         "distinct_users_hll": table_ops.distinct_users_hll,
         "revenue_by_nation": table_ops.revenue_by_nation,
@@ -405,6 +406,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize_scalable": """
+            WITH marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            sess AS (
+              SELECT user_id, ts, value,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+              FROM marked)
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')
+                       AS session_start,
+                   round(sum(value), 6) AS sum_value
+            FROM sess GROUP BY user_id, session_idx
         """,
         "events_sessionize": """
             WITH marked AS (

@@ -353,6 +353,64 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
 
 
+def events_sessionize_scalable(sf_dir: str, gap_minutes: int = 30):
+    """Two-level sessionization — the 100 TB shape for the same result as
+    events_sessionize: (1) groupby((user, day)) sessionizes bounded
+    per-day slices; (2) a second pass merges only *session summaries*
+    (first/last ts + mergeable aggregates, ~1000x smaller than events)
+    across day boundaries and renumbers.  A bot user with 10^8 events
+    costs many bounded day-tasks plus one tiny summary merge, never one
+    giant group.  Output schema and values identical to events_sessionize
+    (same SQL oracle)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def day_sessions(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values("ts")
+        new = (df["ts"].diff() > gap).cumsum()
+        g = df.groupby(new)
+        out = pd.DataFrame({
+            "user_id": df["user_id"].iloc[0],
+            "first_ts": g["ts"].min().values,
+            "last_ts": g["ts"].max().values,
+            "n_events": g.size().astype("int64").values,
+            "sum_value": g["value"].sum().values})
+        return pa.Table.from_pandas(out, preserve_index=False,
+                                    schema=_DAY_SESSION_SCHEMA)
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ds = ds.map_batches(add_day, batch_format="pyarrow")
+    ds = ds.groupby(["user_id", "day"]).map_groups(
+        lambda g: day_sessions(g.drop_columns(["day"])),
+        batch_format="pyarrow")
+
+    def stitch(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values("first_ts")
+        # merge adjacent partial sessions when the boundary gap fits
+        new = (df["first_ts"] - df["last_ts"].shift() > gap).cumsum()
+        g = df.groupby(new)
+        out = pd.DataFrame({
+            "user_id": df["user_id"].iloc[0],
+            "session_idx": np.arange(g.ngroups, dtype="int64"),
+            "n_events": g["n_events"].sum().astype("int64").values,
+            "session_start": g["first_ts"].min().dt.strftime(
+                "%Y-%m-%d %H:%M:%S.%f").values,
+            "sum_value": np.round(g["sum_value"].sum().values, 6)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.groupby("user_id").map_groups(stitch, batch_format="pyarrow")
+
+
+_DAY_SESSION_SCHEMA = pa.schema([
+    ("user_id", pa.int64()), ("first_ts", pa.timestamp("us")),
+    ("last_ts", pa.timestamp("us")), ("n_events", pa.int64()),
+    ("sum_value", pa.float64())])
+
+
 def pricing_summary(sf_dir: str):
     """TPC-H Q1-style aggregate with per-batch combiners: vectorized pandas
     partials -> tiny final groupby (the partial/combiner discipline that
