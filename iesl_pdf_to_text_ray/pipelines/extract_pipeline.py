@@ -75,9 +75,20 @@ def extract_dataset(corpus_dir_or_ds, *, concurrency=None, batch_size: int = 8,
 
 
 def extract_to_dir(corpus_dir: str, out_dir: str, *, concurrency=None,
-                   batch_size: int = 8) -> dict:
-    """Resumable run: skip completed partitions, write parquet + lineage."""
+                   batch_size: int = 8, split_pages: bool = False,
+                   split_threshold: int | None = None,
+                   pages_per_shard: int | None = None) -> dict:
+    """Resumable run: skip completed partitions, write parquet + lineage.
+
+    ``split_pages=True`` routes pathological documents through the
+    page-level skew split while keeping per-partition resume: the
+    partition id (derived from the input file) rides along the shard rows
+    and the doc_id reassembly, so a killed run still skips finished
+    partitions."""
+    import functools
+
     import ray.data
+    from ..stages import extract as ex
     if concurrency is None:
         concurrency = (1, 8)
 
@@ -92,17 +103,35 @@ def extract_to_dir(corpus_dir: str, out_dir: str, *, concurrency=None,
     if not pending:
         return stats
 
-    ds = ray.data.read_parquet(pending, include_paths=True)
-
     def tag_partition(batch: pa.Table) -> pa.Table:
         pids = [lineage.partition_id_for(p)
                 for p in batch.column("path").to_pylist()]
-        return (batch.drop_columns(["path"])
-                .append_column("partition_id", pa.array(pids, pa.string())))
+        return batch.append_column("partition_id",
+                                   pa.array(pids, pa.string()))
 
-    ds = ds.map_batches(tag_partition, batch_format="pyarrow")
-    ds = ds.map_batches(ExtractDocs, batch_format="pyarrow",
-                        batch_size=batch_size, concurrency=concurrency)
+    if split_pages:
+        threshold = (ex.SPLIT_PAGE_THRESHOLD if split_threshold is None
+                     else split_threshold)
+        per_shard = (ex.PAGES_PER_SHARD if pages_per_shard is None
+                     else pages_per_shard)
+        ds = ray.data.read_parquet(pending, columns=["doc_id", "n_pages"],
+                                   include_paths=True)
+        ds = ds.map_batches(tag_partition, batch_format="pyarrow")
+        ds = ds.map_batches(
+            functools.partial(split_tasks, threshold=threshold,
+                              pages_per_shard=per_shard),
+            batch_format="pyarrow", batch_size=batch_size)
+        ds = ds.map_batches(ExtractShards, batch_format="pyarrow",
+                            batch_size=batch_size, concurrency=concurrency)
+        ds = ds.groupby("doc_id").map_groups(reassemble_groups,
+                                             batch_format="pyarrow")
+    else:
+        ds = ray.data.read_parquet(pending, include_paths=True)
+        ds = ds.map_batches(
+            lambda b: tag_partition(b).drop_columns(["path"]),
+            batch_format="pyarrow")
+        ds = ds.map_batches(ExtractDocs, batch_format="pyarrow",
+                            batch_size=batch_size, concurrency=concurrency)
 
     def write_group_bound(group: pa.Table) -> pa.Table:
         pid = group.column("partition_id")[0].as_py()

@@ -108,10 +108,13 @@ def split_tasks(batch: pa.Table, *,
     n_pages_col = (batch.column("n_pages").to_pylist()
                    if "n_pages" in batch.column_names
                    else [None] * len(doc_ids))
+    pids = (batch.column("partition_id").to_pylist()
+            if "partition_id" in batch.column_names
+            else [None] * len(doc_ids))
     out = {"doc_id": [], "shard": [], "page_start": [], "page_end": [],
-           "path": [], "pdf_bytes": []}
-    for doc_id, path, data, n_pages in zip(doc_ids, paths, payloads,
-                                           n_pages_col):
+           "path": [], "pdf_bytes": [], "partition_id": []}
+    for doc_id, path, data, n_pages, pid in zip(doc_ids, paths, payloads,
+                                                n_pages_col, pids):
         if n_pages is None:
             try:
                 n_pages = count_pages(data)
@@ -129,13 +132,17 @@ def split_tasks(batch: pa.Table, *,
             out["page_end"].append(b)
             out["path"].append(path or "")
             out["pdf_bytes"].append(None if by_pointer else data)
-    return pa.table({
+            out["partition_id"].append(pid)
+    cols = {
         "doc_id": pa.array(out["doc_id"], pa.string()),
         "shard": pa.array(out["shard"], pa.int32()),
         "page_start": pa.array(out["page_start"], pa.int32()),
         "page_end": pa.array(out["page_end"], pa.int32()),
         "path": pa.array(out["path"], pa.string()),
-        "pdf_bytes": pa.array(out["pdf_bytes"], pa.binary())})
+        "pdf_bytes": pa.array(out["pdf_bytes"], pa.binary())}
+    if "partition_id" in batch.column_names:
+        cols["partition_id"] = pa.array(out["partition_id"], pa.string())
+    return pa.table(cols)
 
 
 class ExtractShards:
@@ -190,11 +197,17 @@ class ExtractShards:
             out["shard"].append(row["shard"])
             out["spans"].append(_span_rows(spans))
             out["error"].append(err)
-        return pa.table({
+            out.setdefault("partition_id", []).append(
+                row.get("partition_id"))
+        cols = {
             "doc_id": pa.array(out["doc_id"], pa.string()),
             "shard": pa.array(out["shard"], pa.int32()),
             "spans": pa.array(out["spans"], pa.list_(XSPAN_STRUCT)),
-            "error": pa.array(out["error"], pa.string())})
+            "error": pa.array(out["error"], pa.string())}
+        if "partition_id" in batch.column_names:
+            cols["partition_id"] = pa.array(out["partition_id"],
+                                            pa.string())
+        return pa.table(cols)
 
 
 def reassemble_groups(group: pa.Table) -> pa.Table:
@@ -209,7 +222,7 @@ def reassemble_groups(group: pa.Table) -> pa.Table:
                           "media_ref": s["media_ref"],
                           "offset": len(spans),
                           "x": s["x"], "y": s["y"]})
-    return pa.table({
+    cols = {
         "doc_id": pa.array([doc_id], pa.string()),
         "spans": pa.array([spans], pa.list_(XSPAN_STRUCT)),
         "n_spans": pa.array([len(spans)], pa.int32()),
@@ -217,7 +230,11 @@ def reassemble_groups(group: pa.Table) -> pa.Table:
                            pa.int32()),
         "n_media": pa.array([sum(1 for s in spans if s["kind"] == "media")],
                             pa.int32()),
-        "error": pa.array(["; ".join(errors)], pa.string())})
+        "error": pa.array(["; ".join(errors)], pa.string())}
+    if "partition_id" in group.column_names:
+        cols["partition_id"] = pa.array([rows[0].get("partition_id")],
+                                        pa.string())
+    return pa.table(cols)
 
 
 def spans_digest(spans: list[dict]) -> str:

@@ -114,6 +114,29 @@ def test_resume_skips_completed_partitions(ray_session, corpus_dir, tmp_path):
     assert stats3["partitions_run"] == 0
 
 
+def test_resume_with_page_split(ray_session, corpus_dir, tmp_path):
+    """Resumable output through the skew-split path: partition lineage
+    rides the shard fan-out and the doc_id reassembly."""
+    out_dir = str(tmp_path / "out_split")
+    stats = extract_to_dir(corpus_dir, out_dir, concurrency=2,
+                           batch_size=4, split_pages=True,
+                           split_threshold=2, pages_per_shard=3)
+    assert stats["partitions_run"] == 4 and stats["n_errors"] == 0
+    split_out = {r["doc_id"]: r["spans"]
+                 for r in read_output(out_dir).take_all()}
+    assert len(split_out) == 12
+    # identical content to the whole-doc resumable path
+    out2 = str(tmp_path / "out_whole")
+    extract_to_dir(corpus_dir, out2, concurrency=2, batch_size=4)
+    whole = {r["doc_id"]: r["spans"]
+             for r in read_output(out2).take_all()}
+    assert split_out == whole
+    # second run: everything skipped
+    stats2 = extract_to_dir(corpus_dir, out_dir, split_pages=True,
+                            split_threshold=2, pages_per_shard=3)
+    assert stats2["partitions_run"] == 0
+
+
 def test_poison_document_quarantined(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
