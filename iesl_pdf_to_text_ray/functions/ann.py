@@ -157,6 +157,42 @@ class IvfAssign:
         return batch.append_column("bucket", pa.array(assign, pa.int32()))
 
 
+def ivf_bucket_topk_group(group: pa.Table, queries: dict, probes: dict,
+                          k: int) -> pa.Table:
+    """groupby(bucket).map_groups stage: one inverted-list partition.
+    Only queries probing THIS bucket compute similarities here — the
+    bucket-partitioned search layout (at scale the assignment is a
+    one-time index build written bucket-partitioned, and query fan-out
+    touches n_probe partitions instead of every row)."""
+    bucket = group.column("bucket")[0].as_py()
+    qsel = [i for i, qid in enumerate(queries["ids"])
+            if bucket in probes[int(qid)]]
+    if not qsel:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    ids = np.asarray(group.column("vec_id"), dtype=np.int64)
+    mat = normalize(_matrix(group.column("embedding")))
+    qmat = normalize(np.asarray(queries["vecs"], dtype=np.float64))[qsel]
+    sims = np.round(qmat @ mat.T, 6)
+    out_q, out_n, out_s = [], [], []
+    for row, qi in enumerate(qsel):
+        qid = int(queries["ids"][qi])
+        mask = ids != qid
+        cand = np.nonzero(mask)[0]
+        if len(cand) == 0:
+            continue
+        vals = sims[row][cand]
+        take = min(k, len(cand))
+        part = cand[np.lexsort((ids[cand], -vals))[:take]]
+        out_q.extend([qid] * len(part))
+        out_n.extend(int(ids[i]) for i in part)
+        out_s.extend(float(sims[row][i]) for i in part)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "sim": pa.array(out_s, pa.float64())})
+
+
 class IvfProbeTopK:
     """map_batches over bucket-pruned rows: exact cosine within probed
     buckets only."""

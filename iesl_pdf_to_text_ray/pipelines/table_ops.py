@@ -210,7 +210,14 @@ def ann_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 10):
 
 def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10,
             n_clusters: int = 16, n_probe: int = 4):
-    """IVF scale path: coarse k-means buckets + probe-limited exact search."""
+    """IVF scale path: coarse k-means assignment, then a
+    bucket-partitioned search — groupby(bucket) co-locates each inverted
+    list and only queries probing that bucket compute similarities there
+    (at 10^12 scale the assignment is a one-time index build written
+    bucket-partitioned; query fan-out touches n_probe partitions, never
+    the full table)."""
+    import functools
+
     import pyarrow.parquet as pq
     import ray
     # train the coarse quantizer on a bounded sample (driver-side, small)
@@ -225,17 +232,14 @@ def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10,
     d = ((q["vecs"][:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
     probes = {int(qid): set(np.argsort(d[i])[:n_probe].tolist())
               for i, qid in enumerate(q["ids"])}
-    queries_ref = ray.put(q)
-    probes_ref = ray.put(probes)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ds = ds.map_batches(annf.IvfAssign, fn_constructor_args=(centers_ref,),
                         batch_format="pyarrow", batch_size=512,
                         concurrency=(1, 4))
-    ds = ds.map_batches(annf.IvfProbeTopK,
-                        fn_constructor_args=(queries_ref, probes_ref, k),
-                        batch_format="pyarrow", batch_size=512,
-                        concurrency=(1, 4))
-    import functools
+    ds = ds.groupby("bucket").map_groups(
+        functools.partial(annf.ivf_bucket_topk_group, queries=q,
+                          probes=probes, k=k),
+        batch_format="pyarrow")
     return ds.groupby("query_id").map_groups(
         functools.partial(annf.merge_topk_group, k=k),
         batch_format="pyarrow")
@@ -618,34 +622,41 @@ def local_supplier_revenue(sf_dir: str):
     partitioned hash join (orders x lineitem, both large) with broadcast
     maps for the three small dimensions (supplier/customer -> nationkey,
     nation -> name), then partial-combined aggregation."""
-    import pyarrow.parquet as pq
     import ray
     from .joins import hash_join
-    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
-                         columns=["s_suppkey", "s_nationkey"])
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_nationkey"])
-    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
-                           columns=["n_nationkey", "n_name"])
 
-    def _sorted_map(keys, vals):
-        k = np.asarray(keys, dtype=np.int64)
-        v = np.asarray(vals)
-        o = np.argsort(k)
-        return k[o], v[o]
+    @ray.remote
+    def _build_maps(sf: str):
+        # dimension maps built in a worker task, never on the driver —
+        # at sf100 customer is 15M rows; the arrays (~120 MB) go straight
+        # into the object store and are broadcast from there
+        import pyarrow.parquet as pq
+        supp = pq.read_table(os.path.join(sf, "supplier.parquet"),
+                             columns=["s_suppkey", "s_nationkey"])
+        cust = pq.read_table(os.path.join(sf, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+        nation = pq.read_table(os.path.join(sf, "nation.parquet"),
+                               columns=["n_nationkey", "n_name"])
 
-    sk, sv = _sorted_map(supp.column("s_suppkey"),
-                         np.asarray(supp.column("s_nationkey"),
-                                    dtype=np.int64))
-    ck, cv = _sorted_map(cust.column("c_custkey"),
-                         np.asarray(cust.column("c_nationkey"),
-                                    dtype=np.int64))
-    nkeys = np.asarray(nation.column("n_nationkey"), dtype=np.int64)
-    nnames = np.empty(nkeys.max() + 1, dtype=object)
-    nnames[nkeys] = np.asarray(nation.column("n_name").to_pylist(),
-                               dtype=object)
-    maps_ref = ray.put({"sk": sk, "sv": sv, "ck": ck, "cv": cv,
-                        "nn": nnames})
+        def sorted_map(keys, vals):
+            k = np.asarray(keys, dtype=np.int64)
+            v = np.asarray(vals)
+            o = np.argsort(k)
+            return k[o], v[o]
+
+        sk, sv = sorted_map(supp.column("s_suppkey"),
+                            np.asarray(supp.column("s_nationkey"),
+                                       dtype=np.int64))
+        ck, cv = sorted_map(cust.column("c_custkey"),
+                            np.asarray(cust.column("c_nationkey"),
+                                       dtype=np.int64))
+        nkeys = np.asarray(nation.column("n_nationkey"), dtype=np.int64)
+        nnames = np.empty(nkeys.max() + 1, dtype=object)
+        nnames[nkeys] = np.asarray(nation.column("n_name").to_pylist(),
+                                   dtype=object)
+        return {"sk": sk, "sv": sv, "ck": ck, "cv": cv, "nn": nnames}
+
+    maps_ref = _build_maps.remote(sf_dir)
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     lineitem = _read(sf_dir, "lineitem",
@@ -819,23 +830,30 @@ def revenue_by_nation(sf_dir: str):
     ray.put, never reshuffled; orders streams through map_batches with a
     per-batch combiner before the final 25-group reduction.
     """
-    import pyarrow.parquet as pq
     import ray
-    # small sides stay Arrow/numpy end-to-end: customer -> (sorted custkey
-    # array, per-customer nation-name dictionary codes); never a Python dict
-    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
-                         columns=["c_custkey", "c_nationkey"])
-    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
-                           columns=["n_nationkey", "n_name"])
-    nkeys = np.asarray(nation.column("n_nationkey"), dtype=np.int64)
-    nnames = np.asarray(nation.column("n_name").to_pylist(), dtype=object)
-    name_by_key = np.empty(nkeys.max() + 1, dtype=object)
-    name_by_key[nkeys] = nnames
-    ckeys = np.asarray(cust.column("c_custkey"), dtype=np.int64)
-    cnation = name_by_key[np.asarray(cust.column("c_nationkey"),
-                                     dtype=np.int64)]
-    order = np.argsort(ckeys)
-    lookup_ref = ray.put({"keys": ckeys[order], "nation": cnation[order]})
+
+    @ray.remote
+    def _build_lookup(sf: str):
+        # small side built in a worker task (never driver-side), kept as
+        # Arrow/numpy arrays: customer -> (sorted custkey array, aligned
+        # nation names); never a Python dict
+        import pyarrow.parquet as pq
+        cust = pq.read_table(os.path.join(sf, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+        nation = pq.read_table(os.path.join(sf, "nation.parquet"),
+                               columns=["n_nationkey", "n_name"])
+        nkeys = np.asarray(nation.column("n_nationkey"), dtype=np.int64)
+        nnames = np.asarray(nation.column("n_name").to_pylist(),
+                            dtype=object)
+        name_by_key = np.empty(nkeys.max() + 1, dtype=object)
+        name_by_key[nkeys] = nnames
+        ckeys = np.asarray(cust.column("c_custkey"), dtype=np.int64)
+        cnation = name_by_key[np.asarray(cust.column("c_nationkey"),
+                                         dtype=np.int64)]
+        order = np.argsort(ckeys)
+        return {"keys": ckeys[order], "nation": cnation[order]}
+
+    lookup_ref = _build_lookup.remote(sf_dir)
 
     class JoinAgg:
         def __init__(self):

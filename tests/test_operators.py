@@ -172,3 +172,16 @@ def test_asof_join_backward(ray_session):
     got = {r["ev"]: (None if pd.isna(r["val"]) else r["val"])
            for _, r in out.iterrows()}
     assert got == {"w": 20.0, "x": None, "y": 30.0, "z": None}
+
+
+def test_partition_hash_is_pinned():
+    """Join partitioning and HLL rely on pd.util.hash_array with a fixed
+    hash_key; pin known values so a silent hashing change (pandas
+    upgrade) fails loudly instead of quietly reshuffling partitions."""
+    import pandas as pd
+    h = pd.util.hash_array(np.array([0, 1, 42, 10**12], dtype=np.int64),
+                           hash_key="0123456789123456")
+    assert h.dtype == np.uint64
+    assert [int(x) for x in h] == [
+        0, 6238072747940578789, 12058926934050108962,
+        1466053882811111471]
