@@ -146,6 +146,39 @@ def test_monster_document_default_split(ray_session, tmp_path):
     assert split[0]["n_spans"] > 10000
 
 
+def test_encrypted_monster_through_split(ray_session, tmp_path):
+    """Feature interaction: an AES-encrypted 60-page merged document
+    through the pointer-resolved skew-split path must equal the plain
+    whole-doc extraction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iesl_pdf_to_text_ray.pdf.extractor import count_pages
+    from iesl_pdf_to_text_ray.pdf.writer import merge_pdfs, rewrite_pdf
+    from iesl_pdf_to_text_ray.sources.corpus import (CORPUS_SCHEMA,
+                                                     reference_pdf_bytes)
+    blobs = reference_pdf_bytes()
+    plain = merge_pdfs([blobs[n] for n in ("1301.4293", "test25")] * 3)
+    enc = rewrite_pdf(plain, encrypt="aesv2")
+    n_pages = count_pages(enc)
+    assert n_pages == 33
+    d = tmp_path / "encmonster"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": ["m-enc"], "pdf_bytes": [enc],
+        "n_pages": pa.array([n_pages], pa.int32())}, schema=CORPUS_SCHEMA),
+        str(d / "part-00000.parquet"))
+    split = extract_dataset(str(d), concurrency=2, batch_size=4,
+                            split_pages=True, split_threshold=8,
+                            pages_per_shard=5).take_all()
+    assert split[0]["error"] == ""
+    from iesl_pdf_to_text_ray.pdf.extractor import extract_spans
+    expected = [(k, t, m) for k, t, m, _, _, _ in extract_spans(plain)]
+    got = [(s["kind"], s["text"], s["media_ref"])
+           for s in split[0]["spans"]]
+    assert got == expected
+
+
 def test_resume_with_page_split(ray_session, corpus_dir, tmp_path):
     """Resumable output through the skew-split path: partition lineage
     rides the shard fan-out and the doc_id reassembly."""
