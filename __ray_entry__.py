@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_metadata": pdf_metadata_query,
         # streaming-ish / relational
         "events_hourly": table_ops.events_hourly,
+        "events_watermark_late": table_ops.events_watermark_late,
         "events_sliding": table_ops.events_sliding,
         "events_sessionize": table_ops.events_sessionize,
         "events_sessionize_scalable": table_ops.events_sessionize_scalable,
@@ -451,6 +452,20 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_watermark_late": """
+            WITH w AS (
+              SELECT ts, value,
+                     max(ts) OVER (ORDER BY event_id
+                                   ROWS UNBOUNDED PRECEDING)
+                       - INTERVAL 10 MINUTE AS wm
+              FROM events)
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+                   count(*) AS n_events,
+                   sum(CASE WHEN ts < wm THEN 1 ELSE 0 END)::BIGINT
+                       AS n_late,
+                   round(sum(value), 6) AS sum_value
+            FROM w GROUP BY 1
         """,
         "events_sliding": """
             WITH x AS (

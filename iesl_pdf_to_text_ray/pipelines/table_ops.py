@@ -415,6 +415,89 @@ _DAY_SESSION_SCHEMA = pa.schema([
     ("sum_value", pa.float64())])
 
 
+def events_watermark_late(sf_dir: str, lateness_min: int = 10,
+                          bucket_size: int = 1024):
+    """Streaming watermark semantics on a batch table: the watermark is
+    the running max event time over *arrival order* (event_id) minus the
+    allowed lateness; an event is late iff its own time is below the
+    watermark at its arrival.  Implemented as a distributed prefix-scan:
+    (1) per-bucket (event_id // B) time maxima via a tiny groupby, (2)
+    exclusive prefix-max over the bucket summaries (driver-side, O(n/B)),
+    (3) broadcast + vectorized in-bucket cumulative max.  Output: hourly
+    windows with on-time/late splits — the late-data routing a streaming
+    engine does at the window operator."""
+    import ray
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def bucket_max(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["bucket"] = df["event_id"] // bucket_size
+        g = df.groupby("bucket", as_index=False).agg(bmax=("ts", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_WM_BUCKET_SCHEMA)
+
+    # (1)+(2): bucket maxima are tiny (n/B rows) — reduce, prefix driver-side
+    from ray.data.aggregate import Max
+    bm = (ds.map_batches(bucket_max, batch_format="pyarrow")
+          .groupby("bucket").aggregate(Max("bmax")).take_all())
+    bm.sort(key=lambda r: r["bucket"])
+    buckets = [r["bucket"] for r in bm]
+    prefix = {}
+    running = None
+    for r in bm:
+        prefix[r["bucket"]] = running   # exclusive prefix (None = first)
+        m = r["max(bmax)"]
+        if running is None or m > running:
+            running = m
+    prefix_ref = ray.put(prefix)
+
+    def label(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values("event_id")
+        pre = ray.get(prefix_ref).get(
+            int(df["event_id"].iloc[0]) // bucket_size)
+        cm = df["ts"].cummax()
+        if pre is not None:
+            cm = cm.clip(lower=pd.Timestamp(pre))
+        wm = cm - pd.Timedelta(minutes=lateness_min)
+        df["late"] = df["ts"] < wm
+        df["window_start"] = df["ts"].dt.floor("h").dt.strftime(
+            "%Y-%m-%d %H:%M:%S")
+        g = df.groupby("window_start", as_index=False).agg(
+            part_n=("value", "size"), part_late=("late", "sum"),
+            part_sum=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_WM_PARTIAL_SCHEMA)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.append_column(
+            "bucket", pc.divide(batch.column("event_id"),
+                                bucket_size).cast(pa.int64()))
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+    ds = ds.groupby("bucket").map_groups(label, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    ds = ds.groupby("window_start").aggregate(Sum("part_n"),
+                                              Sum("part_late"),
+                                              Sum("part_sum"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "window_start": batch.column("window_start"),
+            "n_events": batch.column("sum(part_n)").cast(pa.int64()),
+            "n_late": batch.column("sum(part_late)").cast(pa.int64()),
+            "sum_value": pc.round(batch.column("sum(part_sum)"), 6)})
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+_WM_BUCKET_SCHEMA = pa.schema([
+    ("bucket", pa.int64()), ("bmax", pa.timestamp("us"))])
+_WM_PARTIAL_SCHEMA = pa.schema([
+    ("window_start", pa.string()), ("part_n", pa.int64()),
+    ("part_late", pa.int64()), ("part_sum", pa.float64())])
+
+
 def pricing_summary(sf_dir: str):
     """TPC-H Q1-style aggregate with per-batch combiners: vectorized pandas
     partials -> tiny final groupby (the partial/combiner discipline that
