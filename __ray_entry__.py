@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "lang_stats": table_ops.lang_stats,
         "top_longest": table_ops.top_longest,
+        "top_docs_per_lang": table_ops.top_docs_per_lang,
         "token_stats": table_ops.token_stats,
         "token_stats_bpe": table_ops.token_stats_bpe,
         "quality_scores": table_ops.quality_scores,
@@ -235,6 +236,13 @@ def oracle_sql() -> dict[str, str]:
         "top_longest": """
             SELECT doc_id, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "top_docs_per_lang": """
+            SELECT doc_id, lang, n_chars, rank FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id ASC) AS rank
+                FROM documents) WHERE rank <= 3
         """,
         "token_stats": """
             SELECT lang,

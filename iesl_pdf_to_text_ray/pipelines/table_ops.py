@@ -125,6 +125,31 @@ def doc_fingerprints(sf_dir: str):
     return ds.map_batches(tx.fingerprint_batch, batch_format="pyarrow")
 
 
+def top_docs_per_lang(sf_dir: str, k: int = 3):
+    """Per-group top-N (ROW_NUMBER() OVER (PARTITION BY ...) <= k): local
+    top-k inside every batch (lossless partial — a global winner is a
+    batch winner), then one tiny per-group merge."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["lang", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        return pa.Table.from_pandas(df.groupby("lang").head(k),
+                                    preserve_index=False,
+                                    schema=batch.schema)
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]).head(k)
+        df["rank"] = np.arange(1, len(df) + 1, dtype="int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ds = ds.map_batches(local_topk, batch_format="pyarrow")
+    return ds.groupby("lang").map_groups(merge_topk,
+                                         batch_format="pyarrow")
+
+
 def langid_predict(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
     return ds.map_batches(tx.langid_batch, batch_format="pyarrow")

@@ -202,6 +202,45 @@ def test_resume_with_page_split(ray_session, corpus_dir, tmp_path):
     assert stats2["partitions_run"] == 0
 
 
+def test_truncation_fuzz_never_kills_block(ray_session, tmp_path):
+    """Deterministic truncation fuzz: PDFs cut at arbitrary offsets (and
+    byte-corrupted) must flow through the pipeline as quarantined or
+    partial rows — never a raised exception, never a dead block."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iesl_pdf_to_text_ray.sources.corpus import (CORPUS_SCHEMA,
+                                                     reference_pdf_bytes)
+    blobs = reference_pdf_bytes()
+    base = blobs["1301.4293"]
+    rows = {"doc_id": [], "pdf_bytes": [], "n_pages": []}
+    cuts = [len(base) // d for d in (2, 3, 5, 9, 17, 33)] + [64, 1024]
+    for i, cut in enumerate(cuts):
+        rows["doc_id"].append(f"trunc-{i}")
+        rows["pdf_bytes"].append(base[:cut])
+        rows["n_pages"].append(1)
+    for i in range(4):  # bit-flip corruption in the body
+        data = bytearray(base)
+        for off in range(100 + i * 997, len(data), 4099):
+            data[off] ^= 0xFF
+        rows["doc_id"].append(f"corrupt-{i}")
+        rows["pdf_bytes"].append(bytes(data))
+        rows["n_pages"].append(4)
+    d = tmp_path / "fuzz"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": rows["doc_id"],
+        "pdf_bytes": rows["pdf_bytes"],
+        "n_pages": pa.array(rows["n_pages"], pa.int32())},
+        schema=CORPUS_SCHEMA), str(d / "part-00000.parquet"))
+    out = extract_dataset(str(d), concurrency=2, batch_size=4).take_all()
+    assert len(out) == len(rows["doc_id"])  # nothing vanished or raised
+    # the same corpus through the split path must also survive
+    out2 = extract_dataset(str(d), concurrency=2, batch_size=4,
+                           split_pages=True, split_threshold=2).take_all()
+    assert len(out2) == len(rows["doc_id"])
+
+
 def test_poison_document_quarantined(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
