@@ -193,37 +193,3 @@ def ivf_bucket_topk_group(group: pa.Table, queries: dict, probes: dict,
                      "sim": pa.array(out_s, pa.float64())})
 
 
-class IvfProbeTopK:
-    """map_batches over bucket-pruned rows: exact cosine within probed
-    buckets only."""
-
-    def __init__(self, queries_ref, probe_buckets_ref, k: int):
-        import ray
-        q = ray.get(queries_ref)
-        self.query_ids = q["ids"]
-        self.qmat = normalize(np.asarray(q["vecs"], dtype=np.float64))
-        self.probes = ray.get(probe_buckets_ref)  # query_id -> set of buckets
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column("vec_id").to_pylist())
-        buckets = np.asarray(batch.column("bucket").to_pylist())
-        mat = normalize(_matrix(batch.column("embedding")))
-        sims = np.round(self.qmat @ mat.T, 6)
-        out_q, out_n, out_s = [], [], []
-        for qi, qid in enumerate(self.query_ids):
-            probe = self.probes[int(qid)]
-            mask = (ids != qid) & np.isin(buckets, list(probe))
-            cand = np.nonzero(mask)[0]
-            if len(cand) == 0:
-                continue
-            vals = sims[qi][cand]
-            take = min(self.k, len(cand))
-            part = cand[np.lexsort((ids[cand], -vals))[:take]]
-            for i in part:
-                out_q.append(int(qid))
-                out_n.append(int(ids[i]))
-                out_s.append(float(sims[qi][i]))
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "neighbor_id": pa.array(out_n, pa.int64()),
-                         "sim": pa.array(out_s, pa.float64())})

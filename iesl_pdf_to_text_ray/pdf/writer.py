@@ -110,10 +110,6 @@ def merge_pdfs(docs: list[bytes]) -> bytes:
             max_num = max(max_num, num)
         root = xref.fetch_if_ref(xref.trailer.get("Root"))
         pages_ref = root.get("Pages") if isinstance(root, dict) else None
-        for page in doc.pages:
-            # page dicts were flattened with inherited attrs; re-emit each
-            # as a fresh object pointing at the shared combined parent
-            pass
         for num, obj in objs.items():
             offsets[num + base] = len(out)
             obj = renum(obj, base)
@@ -143,15 +139,12 @@ def merge_pdfs(docs: list[bytes]) -> bytes:
         walk_pages(pages_ref)
         next_num = base + max_num + 1
 
-    # combined page tree + catalog
+    # combined page tree + catalog.  Page objects keep their original
+    # (now stale) /Parent refs: inheritable attributes were already
+    # resolvable through them, and page enumeration walks /Kids downward
+    # from the new Root, so the stale parents are harmless.
     pages_num = next_num
     cat_num = next_num + 1
-    # every page's /Parent must point at the combined tree; emit patch
-    # objects? Instead: pages were emitted verbatim with their old
-    # /Parent — readers (and this engine) resolve pages via the catalog
-    # tree, so rewrite each page object's Parent by appending updated
-    # copies would double them.  The engine walks Kids from the Root, so
-    # stale /Parent entries are harmless here.
     offsets[pages_num] = len(out)
     out += b"%d 0 obj\n" % pages_num + serialize(
         {"Type": Name("Pages"), "Count": len(all_page_refs),

@@ -185,7 +185,8 @@ class ExtractShards:
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
         self._resolve_payloads(rows)
-        out = {"doc_id": [], "shard": [], "spans": [], "error": []}
+        out = {"doc_id": [], "shard": [], "spans": [], "error": [],
+               "partition_id": []}
         for row in rows:
             try:
                 spans = extract_spans(row["pdf_bytes"],
@@ -197,8 +198,7 @@ class ExtractShards:
             out["shard"].append(row["shard"])
             out["spans"].append(_span_rows(spans))
             out["error"].append(err)
-            out.setdefault("partition_id", []).append(
-                row.get("partition_id"))
+            out["partition_id"].append(row.get("partition_id"))
         cols = {
             "doc_id": pa.array(out["doc_id"], pa.string()),
             "shard": pa.array(out["shard"], pa.int32()),
