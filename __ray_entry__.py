@@ -180,9 +180,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_bruteforce": table_ops.ann_bruteforce,
         "ann_ivf": table_ops.ann_ivf,
+        "ann_quantized": table_ops.ann_quantized,
         "embedding_neardup": table_ops.embedding_neardup,
         # multimodal
         "media_features": table_ops.media_features,
+        "media_frames": table_ops.media_frames,
         "pdf_media": pdf_media_query,
         "pdf_metadata": pdf_metadata_query,
         # streaming-ish / relational
@@ -218,6 +220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 #   ann_ivf — k-means coarse quantizer (iterative, not SQL-expressible);
 #     validated by recall-vs-bruteforce pytest, and ann_bruteforce (same
 #     kernel, exhaustive) has a full oracle.
+#   ann_quantized — int8 scalar quantization; the quantization rounding
+#     (numpy half-to-even) is not reproducible in DuckDB SQL (round is
+#     half-away), so cross-engine value equality cannot hold; recall vs
+#     ann_bruteforce is pinned in tests instead.
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": """
@@ -372,6 +378,12 @@ def oracle_sql() -> dict[str, str]:
                        AS n_spans_out,
                    coalesce(a.n_media, 0)::INT AS n_media
             FROM base b LEFT JOIN agg a USING (doc_id)
+        """,
+        "media_frames": """
+            SELECT 'v-' || doc_id AS media_id,
+                   k.k::INT AS frame_idx,
+                   md5(text || ':' || k.k) AS frame_md5
+            FROM documents, (SELECT unnest(generate_series(0, 3)) AS k) k
         """,
         "media_features": """
             SELECT 'm-' || doc_id AS media_id,

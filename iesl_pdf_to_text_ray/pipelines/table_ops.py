@@ -270,6 +270,72 @@ def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10,
         batch_format="pyarrow")
 
 
+def ann_quantized(sf_dir: str, n_queries: int = 8, k: int = 10):
+    """Scalar-quantized ANN: per-dimension global min/max (one tiny
+    aggregate pass), vectors stored as int8 (4x smaller than float32,
+    16x smaller than float64 — the storage-scale path), search against
+    dequantized values.  Approximate: recall vs ann_bruteforce is pinned
+    in tests/test_operators.py (no SQL oracle — cross-engine float
+    rounding of the quantization step is not reproducible in DuckDB)."""
+    import functools
+
+    import ray
+
+    @ray.remote
+    def _dim_range(sf: str):
+        import pyarrow.parquet as pq
+        t = pq.read_table(os.path.join(sf, "embeddings.parquet"),
+                          columns=["embedding"])
+        m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+        return m.min(axis=0), m.max(axis=0)
+
+    lo, hi = ray.get(_dim_range.remote(sf_dir))
+    span = np.where(hi > lo, hi - lo, 1.0)
+    q = _load_queries(sf_dir, n_queries)
+    qmat = annf.normalize(np.asarray(q["vecs"], dtype=np.float64))
+    ctx = ray.put({"lo": lo, "span": span, "qids": q["ids"],
+                   "qmat": qmat})
+
+    class QuantizedTopK:
+        def __init__(self):
+            c = ray.get(ctx)
+            self.lo, self.span = c["lo"], c["span"]
+            self.qids, self.qmat = c["qids"], c["qmat"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            m = np.asarray(batch.column("embedding").to_pylist(),
+                           dtype=np.float64)
+            # quantize -> int8 (the stored representation) -> dequantize
+            qv = np.clip(np.round((m - self.lo) / self.span * 254) - 127,
+                         -127, 127).astype(np.int8)
+            deq = (qv.astype(np.float64) + 127) / 254 * self.span + self.lo
+            mat = annf.normalize(deq)
+            sims = np.round(self.qmat @ mat.T, 6)
+            out_q, out_n, out_s = [], [], []
+            for qi, qid in enumerate(self.qids):
+                mask = ids != qid
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                vals = sims[qi][cand]
+                take = min(k, len(cand))
+                part = cand[np.lexsort((ids[cand], -vals))[:take]]
+                out_q.extend([int(qid)] * len(part))
+                out_n.extend(int(ids[i]) for i in part)
+                out_s.extend(float(sims[qi][i]) for i in part)
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "neighbor_id": pa.array(out_n, pa.int64()),
+                             "sim": pa.array(out_s, pa.float64())})
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(QuantizedTopK, batch_format="pyarrow",
+                        batch_size=512, concurrency=(1, 4))
+    return ds.groupby("query_id").map_groups(
+        functools.partial(annf.merge_topk_group, k=k),
+        batch_format="pyarrow")
+
+
 def embedding_neardup(sf_dir: str, threshold: float = 0.4,
                       n_blocks: int = 4):
     """Embedding-cosine near-dup pairs (id_a < id_b, sim >= threshold).
@@ -322,6 +388,37 @@ def media_features(sf_dir: str):
 
 
 # ------------------------------------------------------------------ events
+
+def media_frames(sf_dir: str, n_frames: int = 4):
+    """Video-side multimodal plumbing: documents -> opaque payloads ->
+    actor-pool FrameSampleStage (stub codec, md5-derived frames) -> one
+    row per sampled frame with its content hash.  Oracle-checkable
+    because the fake sampler is a pure md5 function of the payload."""
+    from ..stages.media import FrameSampleStage
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        return pa.table({
+            "media_id": pa.array([f"v-{d}" for d in ids], pa.string()),
+            "doc_id": pa.array([str(d) for d in ids], pa.string()),
+            "payload": pa.array([(t or "").encode() for t in texts],
+                                pa.binary())})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(to_media, batch_format="pyarrow")
+    ds = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
+                        batch_size=32, concurrency=(1, 4))
+
+    def digest(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "frame_idx": batch.column("frame_idx").cast(pa.int32()),
+            "frame_md5": pa.array(
+                [f.hex() for f in batch.column("frame").to_pylist()],
+                pa.string())})
+    return ds.map_batches(digest, batch_format="pyarrow")
+
 
 def events_hourly(sf_dir: str):
     """Tumbling-window aggregate with per-batch pre-aggregation (combiner)."""

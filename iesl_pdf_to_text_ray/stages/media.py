@@ -50,8 +50,9 @@ class MediaCodec:
         return pixels[ys][:, xs]
 
     def sample_frames(self, payload: bytes, n_frames: int) -> list[bytes]:
-        # real impl: ffmpeg keyframe sampling; fake: hash-derived chunks
-        return [hashlib.blake2b(payload + bytes([i]), digest_size=32).digest()
+        # real impl: ffmpeg keyframe sampling; fake: md5-derived chunks so
+        # the SQL oracle can reproduce frame identities
+        return [hashlib.md5(payload + b":" + str(i).encode()).digest()
                 for i in range(n_frames)]
 
 

@@ -185,3 +185,19 @@ def test_partition_hash_is_pinned():
     assert [int(x) for x in h] == [
         0, 6238072747940578789, 12058926934050108962,
         1466053882811111471]
+
+
+def test_quantized_ann_recall(ray_session):
+    """int8 scalar quantization must keep >= 80% top-10 recall vs the
+    exact brute-force search on the same queries."""
+    from iesl_pdf_to_text_ray.pipelines.table_ops import (ann_bruteforce,
+                                                          ann_quantized)
+    sf = "/root/testdata/sf0.01"
+    exact = _pd(ann_bruteforce(sf))
+    approx = _pd(ann_quantized(sf))
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        a = set(approx[approx.query_id == qid]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
