@@ -147,6 +147,42 @@ def pdf_media_query(sf_dir: str):
                           batch_size=4, concurrency=(1, 4))
 
 
+def pdf_text_items_query(sf_dir: str):
+    """getTextContent surface over the PDF corpus (getinfo.js parity):
+    per-page item counts + joined text digest.  Rows-only (PDF corpus is
+    outside the oracle's table set); item semantics are pinned in
+    tests/test_text_content.py."""
+    import hashlib as _hl
+
+    import pyarrow as pa
+    import ray.data
+
+    def items_batch(batch: pa.Table) -> pa.Table:
+        from iesl_pdf_to_text_ray.pdf.text_content import (
+            extract_text_content)
+        ids, pages_out, n_items, digest = [], [], [], []
+        for doc_id, data in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("pdf_bytes").to_pylist()):
+            try:
+                pages = extract_text_content(data)
+            except Exception:
+                pages = []
+            for p in pages:
+                text = " ".join(i["str"] for i in p["items"])
+                ids.append(doc_id)
+                pages_out.append(p["page"])
+                n_items.append(len(p["items"]))
+                digest.append(_hl.md5(text.encode()).hexdigest()[:16])
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "page": pa.array(pages_out, pa.int32()),
+                         "n_items": pa.array(n_items, pa.int32()),
+                         "text_md5": pa.array(digest, pa.string())})
+
+    ds = ray.data.read_parquet(_corpus_dir())
+    return ds.map_batches(items_batch, batch_format="pyarrow",
+                          batch_size=4)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: interleaved spans
     synthesis + normalization over the documents table, fused with the
@@ -187,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": table_ops.media_frames,
         "pdf_media": pdf_media_query,
         "pdf_metadata": pdf_metadata_query,
+        "pdf_text_items": pdf_text_items_query,
         # streaming-ish / relational
         "events_hourly": table_ops.events_hourly,
         "events_watermark_late": table_ops.events_watermark_late,
