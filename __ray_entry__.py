@@ -244,8 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # Queries intentionally absent from oracle_sql(), with why SQL cannot
 # express them (the driver records a rows-only check for these):
-#   extract_corpus / extract_corpus_split / pdf_metadata / pdf_media —
-#     operate on the
+#   extract_corpus / extract_corpus_split / pdf_metadata / pdf_media /
+#   pdf_text_items — operate on the
 #     PDF byte corpus, which is not among the driver's 10 registered
 #     DuckDB views; correctness is enforced instead by golden
 #     span-sequence equality in tests/test_golden.py (4/4 docs exact) and
