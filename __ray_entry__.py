@@ -226,7 +226,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_text_items": pdf_text_items_query,
         # streaming-ish / relational
         "events_hourly": table_ops.events_hourly,
+        "events_daily_pivot": table_ops.events_daily_pivot,
         "events_watermark_late": table_ops.events_watermark_late,
+        "pricing_rollup": table_ops.pricing_rollup,
         "events_sliding": table_ops.events_sliding,
         "events_sessionize": table_ops.events_sessionize,
         "events_sessionize_scalable": table_ops.events_sessionize_scalable,
@@ -509,6 +511,27 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_daily_pivot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                       END)::BIGINT AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                       END)::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                       END)::BIGINT AS n_view
+            FROM events GROUP BY 1
+        """,
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "events_watermark_late": """
             WITH w AS (

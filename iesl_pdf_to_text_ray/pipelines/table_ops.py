@@ -448,6 +448,78 @@ def events_hourly(sf_dir: str):
     return ds.map_batches(rename, batch_format="pyarrow")
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_daily_pivot(sf_dir: str):
+    """Pivot: daily event counts widened to one column per event type
+    (fixed domain).  Partial pivoted counts per batch, summed in one
+    small groupby — the wide shuffle carries days x 5 ints, not rows."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        g = (df.groupby(["day", "event_type"]).size().unstack(
+            fill_value=0).reindex(columns=_EVENT_TYPES, fill_value=0)
+            .reset_index())
+        g.columns = ["day"] + [f"n_{t}" for t in _EVENT_TYPES]
+        return pa.Table.from_pandas(g, preserve_index=False,
+                                    schema=_PIVOT_SCHEMA)
+
+    from ray.data.aggregate import Sum
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    ds = ds.groupby("day").aggregate(
+        *[Sum(f"n_{t}") for t in _EVENT_TYPES])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {"day": batch.column("day")}
+        for t in _EVENT_TYPES:
+            cols[f"n_{t}"] = batch.column(f"sum(n_{t})").cast(pa.int64())
+        return pa.table(cols)
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+_PIVOT_SCHEMA = pa.schema(
+    [("day", pa.string())] + [(f"n_{t}", pa.int64())
+                              for t in _EVENT_TYPES])
+
+
+def pricing_rollup(sf_dir: str):
+    """ROLLUP (l_returnflag, l_linestatus): the base grouped aggregate is
+    computed once (partial-combined), then the higher rollup levels are
+    derived by re-aggregating the tiny grouped result — no second pass
+    over the fact table."""
+    import ray
+
+    base = pricing_summary(sf_dir)  # 6 grouped rows, fully aggregated
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[["l_returnflag", "l_linestatus", "sum_qty",
+                                "count_order"]]
+        lvl1 = df.groupby("l_returnflag", as_index=False).agg(
+            sum_qty=("sum_qty", "sum"), count_order=("count_order", "sum"))
+        lvl1["l_linestatus"] = None
+        lvl2 = pd.DataFrame({
+            "l_returnflag": [None], "l_linestatus": [None],
+            "sum_qty": [df["sum_qty"].sum()],
+            "count_order": [df["count_order"].sum()]})
+        out = pd.concat([df, lvl1, lvl2], ignore_index=True)
+        out["sum_qty"] = out["sum_qty"].round(2)
+        return pa.Table.from_pandas(
+            out[["l_returnflag", "l_linestatus", "sum_qty",
+                 "count_order"]], preserve_index=False,
+            schema=_ROLLUP_SCHEMA)
+
+    # the grouped result is tiny: single-block rollup derivation
+    return base.repartition(1).map_batches(rollup, batch_format="pyarrow")
+
+
+_ROLLUP_SCHEMA = pa.schema([
+    ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+    ("sum_qty", pa.float64()), ("count_order", pa.int64())])
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user: a new session starts when the gap from the
     previous event exceeds ``gap_minutes``.  groupby(user_id).map_groups
