@@ -147,6 +147,36 @@ def pdf_media_query(sf_dir: str):
                           batch_size=4, concurrency=(1, 4))
 
 
+def extract_layout_query(sf_dir: str):
+    """Layout analysis on the positional span output: header/footer
+    stripping (repeated normalized text at ~same y across pages) and
+    per-page column-count detection — the downstream consumers the x/y
+    columns exist for (BASELINE north star).  Rows-only (PDF corpus)."""
+    import pyarrow as pa
+
+    from iesl_pdf_to_text_ray.functions.layout import (detect_columns,
+                                                       strip_headers_footers)
+    from iesl_pdf_to_text_ray.pipelines.extract_pipeline import extract_dataset
+    ds = extract_dataset(_corpus_dir(), concurrency=(1, 4), batch_size=4)
+
+    def layout(batch: pa.Table) -> pa.Table:
+        ids, n_in, n_body, cols_p0 = [], [], [], []
+        for row in batch.to_pylist():
+            spans = row["spans"]
+            body = strip_headers_footers(spans)
+            ids.append(row["doc_id"])
+            n_in.append(len(spans))
+            n_body.append(len(body))
+            cols_p0.append(detect_columns(spans, page=0))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "n_spans": pa.array(n_in, pa.int32()),
+            "n_body_spans": pa.array(n_body, pa.int32()),
+            "columns_page0": pa.array(cols_p0, pa.int32())})
+
+    return ds.map_batches(layout, batch_format="pyarrow")
+
+
 def pdf_text_items_query(sf_dir: str):
     """getTextContent surface over the PDF corpus (getinfo.js parity):
     per-page item counts + joined text digest.  Rows-only (PDF corpus is
@@ -224,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_media": pdf_media_query,
         "pdf_metadata": pdf_metadata_query,
         "pdf_text_items": pdf_text_items_query,
+        "extract_layout": extract_layout_query,
         # streaming-ish / relational
         "events_hourly": table_ops.events_hourly,
         "events_daily_pivot": table_ops.events_daily_pivot,
@@ -247,7 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # Queries intentionally absent from oracle_sql(), with why SQL cannot
 # express them (the driver records a rows-only check for these):
 #   extract_corpus / extract_corpus_split / pdf_metadata / pdf_media /
-#   pdf_text_items — operate on the
+#   pdf_text_items / extract_layout — operate on the
 #     PDF byte corpus, which is not among the driver's 10 registered
 #     DuckDB views; correctness is enforced instead by golden
 #     span-sequence equality in tests/test_golden.py (4/4 docs exact) and

@@ -77,13 +77,13 @@ def main(argv=None) -> int:
                 out.append({"doc_id": doc_id, "page": p, "spans": [
                     {"kind": k, "text": t, "media_ref": m, "offset": o,
                      "x": xs, "y": y}
-                    for k, t, m, o, xs, y in spans]})
+                    for k, t, m, o, xs, y, *_ in spans]})
         else:
             spans = extract_spans(data)
             out.append({"doc_id": doc_id, "spans": [
                 {"kind": k, "text": t, "media_ref": m, "offset": o,
-                 "x": xs, "y": y}
-                for k, t, m, o, xs, y in spans]})
+                 "x": xs, "y": y, "page": pg, "mat": mt}
+                for k, t, m, o, xs, y, pg, mt in spans]})
         if args.metadata:
             meta = extract_metadata(data)
             for r in out:

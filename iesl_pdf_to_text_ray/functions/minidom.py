@@ -16,7 +16,7 @@ from __future__ import annotations
 
 class Element:
     __slots__ = ("tag", "children", "parent", "text_chunks", "x_coords",
-                 "y", "media_ref", "font_size", "font_name")
+                 "y", "media_ref", "font_size", "font_name", "mat")
 
     def __init__(self, tag: str):
         self.tag = tag
@@ -31,6 +31,7 @@ class Element:
         self.media_ref: str = ""
         self.font_size: float = 0.0
         self.font_name: str = ""
+        self.mat: tuple | None = None   # page-space frame (ctm o Tm)
 
     def append_child(self, child: "Element") -> None:
         # DOM appendChild: if the node is already in a tree, it is first

@@ -24,6 +24,18 @@ SPACE_THRESHOLD_EM = 0.15
 
 FONT_IDENTITY_MATRIX0 = 0.001
 
+_ID6 = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mul6(m1, m2):
+    """PDF matrix concat (Util.transform convention: apply m2 then m1)."""
+    return (m1[0] * m2[0] + m1[2] * m2[1],
+            m1[1] * m2[0] + m1[3] * m2[1],
+            m1[0] * m2[2] + m1[2] * m2[3],
+            m1[1] * m2[2] + m1[3] * m2[3],
+            m1[0] * m2[4] + m1[2] * m2[5] + m1[4],
+            m1[1] * m2[4] + m1[3] * m2[5] + m1[5])
+
 
 class _State:
     """Mirror of the reference's per-graphics-state text state.
@@ -40,6 +52,7 @@ class _State:
         "char_spacing", "word_spacing", "text_hscale", "font_direction",
         "leading", "pending_clip",
         "tspan", "txt_element", "txtgrp", "element", "tm_scale",
+        "ctm", "tm",
     )
 
     def __init__(self):
@@ -57,6 +70,8 @@ class _State:
         self.leading = 0.0
         self.pending_clip = False
         self.tm_scale = (1.0, 0.0, 0.0, 1.0)
+        self.ctm = _ID6          # accumulated cm transforms (q/Q scoped)
+        self.tm = _ID6           # current Tm frame
         self.tspan: Element | None = None
         self.txt_element: Element | None = None
         self.txtgrp: Element | None = None
@@ -96,7 +111,9 @@ class SpanBuilder:
         self.tgrp = Element("g")
         self.pgrp.append_child(self.tgrp)
 
-    def transform(self) -> None:
+    def transform(self, m=None) -> None:
+        if m is not None and len(m) == 6:
+            self.current.ctm = _mul6(self.current.ctm, tuple(m))
         self.tgrp = Element("g")
 
     # -- text state -------------------------------------------------------
@@ -105,6 +122,7 @@ class SpanBuilder:
         cur = self.current
         cur.x = cur.line_x = 0.0
         cur.y = cur.line_y = 0.0
+        cur.tm = _ID6
         cur.tspan = Element("tspan")
         cur.txt_element = Element("text")
         cur.txtgrp = Element("g")
@@ -141,6 +159,8 @@ class SpanBuilder:
 
     def set_text_matrix(self, a, b, c, d, e, f) -> None:
         cur = self.current
+        cur.tm = (float(a), float(b), float(c), float(d),
+                  float(e), float(f))
         cur.x = cur.line_x = 0.0
         cur.y = cur.line_y = 0.0
         cur.tspan = Element("tspan")
@@ -225,6 +245,9 @@ class SpanBuilder:
                     tspan.y = cur.y
                     tspan.font_size = font_size
                     tspan.font_name = cur.font_name
+                    # page-space frame for layout consumers: ctm o Tm
+                    # (glyph page position = mat applied to (x_i, y))
+                    tspan.mat = _mul6(cur.ctm, cur.tm)
                 chunks.append(uni)
                 tspan.x_coords.append(cur.x + x * hscale)
                 emitted_glyph = True
@@ -341,9 +364,10 @@ class SpanBuilder:
                 # dropped too (no golden span is whitespace-only).
                 if text and not text.isspace() and min(text) >= "\x20":
                     spans.append(("text", text, "", list(el.x_coords),
-                                  el.y))
+                                  el.y, list(el.mat or _ID6)))
             elif el.media_ref:
-                spans.append(("media", "", el.media_ref, [], None))
+                spans.append(("media", "", el.media_ref, [], None,
+                              list(_ID6)))
             for c in el.children:
                 visit(c)
 

@@ -174,7 +174,7 @@ class PageInterpreter:
                         self.state = self.state_stack.pop()
                 elif op == "cm":
                     emit()
-                    b.transform()
+                    b.transform([_num(a) for a in args[-6:]])
                 elif op in ("rg", "g", "k", "sc"):
                     emit()
                     b.set_fill_rgb()
@@ -317,7 +317,7 @@ class PageInterpreter:
         self.state_stack.append(self.state)
         self.state = self.state.clone()
         if isinstance(matrix, list) and len(matrix) == 6:
-            b.transform()
+            b.transform([_num(v) for v in matrix])
         if isinstance(bbox, list) and len(bbox) == 4:
             from ..functions.minidom import Element
             b.current.element = Element("rect")

@@ -29,11 +29,15 @@ def extract_spans(pdf_bytes: bytes,
     out: list[tuple] = []
     for page in pages:
         builder = interpret_page(doc.xref, page, font_cache)
-        for kind, text, media_ref, xs, y in builder.collect():
-            # (kind, text, media_ref, offset, x[], y): x carries per-glyph
-            # positions with -1 sentinels at inserted spaces (§5.3 / docs/
-            # svg-syntax.md:8-16)
-            out.append((kind, text, media_ref, len(out), xs, y))
+        for kind, text, media_ref, xs, y, mat in builder.collect():
+            # (kind, text, media_ref, offset, x[], y, page, mat): x holds
+            # per-glyph positions in text-line space with -1 sentinels at
+            # inserted spaces (§5.3 / docs/svg-syntax.md:8-16); page is
+            # the absolute page index (stable across shards); mat is the
+            # span's page-space frame (ctm o Tm, 6 floats) — page position
+            # of glyph i is mat applied to (x[i], y)
+            out.append((kind, text, media_ref, len(out), xs, y,
+                        page.index, mat))
     return out
 
 

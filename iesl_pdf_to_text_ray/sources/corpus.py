@@ -47,6 +47,8 @@ XSPAN_STRUCT = pa.struct([
     ("offset", pa.int32()),
     ("x", pa.list_(pa.float64())),
     ("y", pa.float64()),
+    ("page", pa.int32()),
+    ("mat", pa.list_(pa.float64())),
 ])
 
 SPANS_SCHEMA = pa.schema([

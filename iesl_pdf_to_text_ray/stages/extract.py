@@ -38,8 +38,8 @@ OUT_SCHEMA = pa.schema(_OUT_FIELDS)
 
 def _span_rows(spans):
     return [{"kind": k, "text": t, "media_ref": m, "offset": o,
-             "x": xs, "y": y}
-            for k, t, m, o, xs, y in spans]
+             "x": xs, "y": y, "page": pg, "mat": mt}
+            for k, t, m, o, xs, y, pg, mt in spans]
 
 
 class ExtractDocs:
@@ -221,7 +221,8 @@ def reassemble_groups(group: pa.Table) -> pa.Table:
             spans.append({"kind": s["kind"], "text": s["text"],
                           "media_ref": s["media_ref"],
                           "offset": len(spans),
-                          "x": s["x"], "y": s["y"]})
+                          "x": s["x"], "y": s["y"], "page": s["page"],
+                          "mat": s["mat"]})
     cols = {
         "doc_id": pa.array([doc_id], pa.string()),
         "spans": pa.array([spans], pa.list_(XSPAN_STRUCT)),

@@ -42,12 +42,14 @@ def test_span_structure(doc):
     spans, _ = _load(doc)
     # offsets are the dense 0..n-1 ordinals
     assert [s[3] for s in spans] == list(range(len(spans)))
-    for kind, text, media_ref, _, xs, y in spans:
+    for kind, text, media_ref, _, xs, y, pg, mat in spans:
         if kind == "text":
             assert text and media_ref == ""
             assert not text.isspace()
             assert min(text) >= "\x20"
             assert xs and y is not None
+            assert 0 <= pg < 16
+            assert len(mat) == 6
         else:
             assert kind == "media" and text == "" and media_ref
             assert xs == [] and y is None

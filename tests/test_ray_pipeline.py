@@ -173,7 +173,7 @@ def test_encrypted_monster_through_split(ray_session, tmp_path):
                             pages_per_shard=5).take_all()
     assert split[0]["error"] == ""
     from iesl_pdf_to_text_ray.pdf.extractor import extract_spans
-    expected = [(k, t, m) for k, t, m, _, _, _ in extract_spans(plain)]
+    expected = [(k, t, m) for k, t, m, *_ in extract_spans(plain)]
     got = [(s["kind"], s["text"], s["media_ref"])
            for s in split[0]["spans"]]
     assert got == expected

@@ -67,7 +67,7 @@ def test_collect_invariants(ops):
     collected = "".join(s[1] for s in spans if s[0] == "text")
     # invariant 1: no control chars, no empty/whitespace-only spans;
     # inserted-space sentinels (-1) line up with space chunks in x
-    for kind, text, media_ref, xs, y in spans:
+    for kind, text, media_ref, xs, y, mat in spans:
         assert kind == "text"
         assert text and not text.isspace()
         assert min(text) >= "\x20"
