@@ -24,6 +24,11 @@ def _fmt(v: float) -> str:
 
 def _tspan_svg(el: Element, out: list[str]) -> None:
     attrs = []
+    if el.mat is not None:
+        # the reference emits transform=pm(textMatrix) on the parent
+        # svg:text (pdf.combined.js:20370); tspans cannot carry transform,
+        # so the page-space frame rides as a data attribute
+        attrs.append('data-mat="%s"' % " ".join(_fmt(v) for v in el.mat))
     if el.font_name:
         attrs.append(f"font-family={quoteattr(el.font_name)}")
     if el.font_size:
