@@ -562,13 +562,32 @@ def events_sessionize_scalable(sf_dir: str, gap_minutes: int = 30):
     (same SQL oracle)."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
     gap = pd.Timedelta(minutes=gap_minutes)
+    n_parts = 256
 
-    def day_sessions(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values("ts")
-        new = (df["ts"].diff() > gap).cumsum()
-        g = df.groupby(new)
+    def add_part(batch: pa.Table) -> pa.Table:
+        # partition by (user, day) hash: a hot user's days spread across
+        # partitions, so phase 1 stays bounded even for bot users
+        df = batch.to_pandas()
+        day_ord = (df["ts"].astype("int64") // 86_400_000_000).to_numpy()
+        part = ((df["user_id"].to_numpy() * np.int64(1315423911)
+                 + day_ord) % n_parts).astype("int32")
+        df["part"] = part
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def day_sessions_part(group: pa.Table) -> pa.Table:
+        # one coarse partition: (user, day) runs recovered by sort, all
+        # partial sessions computed in ONE vectorized pass (no per-group
+        # Python — the tiny-group map_groups trap)
+        df = group.to_pandas().sort_values(["user_id", "ts"],
+                                           kind="mergesort")
+        day = df["ts"].values.astype("datetime64[D]")
+        new = ((df["user_id"].diff() != 0)
+               | pd.Series(day).diff().ne(pd.Timedelta(0)).values
+               | (df["ts"].diff() > gap))
+        sid = new.cumsum()
+        g = df.groupby(sid)
         out = pd.DataFrame({
-            "user_id": df["user_id"].iloc[0],
+            "user_id": g["user_id"].first().values,
             "first_ts": g["ts"].min().values,
             "last_ts": g["ts"].max().values,
             "n_events": g.size().astype("int64").values,
@@ -576,15 +595,9 @@ def events_sessionize_scalable(sf_dir: str, gap_minutes: int = 30):
         return pa.Table.from_pandas(out, preserve_index=False,
                                     schema=_DAY_SESSION_SCHEMA)
 
-    def add_day(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    ds = ds.map_batches(add_day, batch_format="pyarrow")
-    ds = ds.groupby(["user_id", "day"]).map_groups(
-        lambda g: day_sessions(g.drop_columns(["day"])),
-        batch_format="pyarrow")
+    ds = ds.map_batches(add_part, batch_format="pyarrow")
+    ds = ds.groupby("part").map_groups(day_sessions_part,
+                                       batch_format="pyarrow")
 
     def stitch(group: pa.Table) -> pa.Table:
         df = group.to_pandas().sort_values("first_ts")
@@ -616,8 +629,10 @@ def events_watermark_late(sf_dir: str, lateness_min: int = 10,
     allowed lateness; an event is late iff its own time is below the
     watermark at its arrival.  Implemented as a distributed prefix-scan:
     (1) per-bucket (event_id // B) time maxima via a tiny groupby, (2)
-    exclusive prefix-max over the bucket summaries (driver-side, O(n/B)),
-    (3) broadcast + vectorized in-bucket cumulative max.  Output: hourly
+    exclusive prefix-max over the bucket summaries (driver-side, O(n/B) —
+    size B so summaries stay small, e.g. B = n/10^5; beyond that the
+    same scan nests one more level, summaries-of-summaries), (3)
+    broadcast + vectorized in-bucket cumulative max.  Output: hourly
     windows with on-time/late splits — the late-data routing a streaming
     engine does at the window operator."""
     import ray
