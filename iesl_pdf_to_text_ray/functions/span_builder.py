@@ -51,7 +51,7 @@ class _State:
         "font_size", "font_matrix0", "font_name",
         "char_spacing", "word_spacing", "text_hscale", "font_direction",
         "leading", "pending_clip",
-        "tspan", "txt_element", "txtgrp", "element", "tm_scale",
+        "tspan", "txt_element", "txtgrp", "element",
         "ctm", "tm",
     )
 
@@ -69,7 +69,6 @@ class _State:
         self.font_direction = 1.0
         self.leading = 0.0
         self.pending_clip = False
-        self.tm_scale = (1.0, 0.0, 0.0, 1.0)
         self.ctm = _ID6          # accumulated cm transforms (q/Q scoped)
         self.tm = _ID6           # current Tm frame
         self.tspan: Element | None = None

@@ -201,3 +201,19 @@ def test_quantized_ann_recall(ray_session):
         a = set(approx[approx.query_id == qid]["neighbor_id"])
         recalls.append(len(e & a) / len(e))
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_rolling_fingerprint_locality():
+    """Rolling-hash fingerprints: identical docs share fp; a local edit
+    far from the minimum-sampled window usually keeps it (near-dup
+    prescreen property), while short docs hash exactly."""
+    import pyarrow as pa
+    from iesl_pdf_to_text_ray.functions.textops import (
+        rolling_fingerprint_batch)
+    long = " ".join(f"tok{i}" for i in range(200))
+    batch = pa.table({"doc_id": [1, 2, 3],
+                      "text": [long, long, "short"]})
+    out = rolling_fingerprint_batch(batch).to_pydict()
+    assert out["rolling_fp"][0] == out["rolling_fp"][1]
+    assert out["rolling_fp"][2] != out["rolling_fp"][0]
+    assert all(len(f) == 16 for f in out["rolling_fp"])
