@@ -71,83 +71,86 @@ class ContentScanner:
         # only after position jumps — escaped strings, inline dicts, and
         # BI handlers that consume image payloads — all rare
         pos = self.pos
-        it = _TOKEN_RE.finditer(data, pos)
-        while True:
-            m = next(it, None)
-            if m is None:
-                break
-            pos = m.end()
-            g = m.lastindex  # 1=num 2=litstr 3=name 4=op 5=hexstr 6=delim
-            if g == 1:
-                cur.append(float(m.group(1)))
-                continue
-            if g == 2:
-                cur.append(m.group(2))
-                continue
-            if g == 5:
-                h = m.group(5)
-                if b" " in h or b"\n" in h or b"\r" in h or b"\t" in h:
-                    h = bytes(c for c in h
-                              if c not in (0, 9, 10, 12, 13, 32))
-                if len(h) % 2:
-                    h += b"0"
-                try:
-                    cur.append(bytes.fromhex(h.decode("ascii")))
-                except ValueError:
-                    cur.append(b"")
-                continue
-            if g == 3:
-                cur.append(Name(_decode_name(m.group(3))))
-                continue
-            if g == 4:
-                op = m.group(4).decode("latin1")
-                if op in ("true", "false", "null"):
-                    cur.append(True if op == "true"
-                               else (False if op == "false" else None))
+        running = True
+        while running:
+            running = False
+            for m in _TOKEN_RE.finditer(data, pos):
+                pos = m.end()
+                g = m.lastindex  # 1=num 2=litstr 3=name 4=op 5=hex 6=delim
+                if g == 1:
+                    cur.append(float(m.group(1)))
                     continue
-                operands = stack
-                self.pos = pos
-                yield operands, op, m.start(4)
-                stack = []
-                arrays = []
-                cur = stack
-                if self.pos != pos:  # handler consumed bytes (BI...EI)
-                    pos = self.pos
-                    it = _TOKEN_RE.finditer(data, pos)
-                continue
-            d = m.group(6)
-            if d == b"(":
-                # fast path: string without escapes or nested parens
-                j = data.find(b")", pos)
-                if j >= 0:
-                    seg = data[pos:j]
-                    if b"\\" not in seg and b"(" not in seg:
-                        cur.append(seg)
-                        pos = j + 1
-                        it = _TOKEN_RE.finditer(data, pos)
+                if g == 2:
+                    cur.append(m.group(2))
+                    continue
+                if g == 5:
+                    h = m.group(5)
+                    if b" " in h or b"\n" in h or b"\r" in h or b"\t" in h:
+                        h = bytes(c for c in h
+                                  if c not in (0, 9, 10, 12, 13, 32))
+                    if len(h) % 2:
+                        h += b"0"
+                    try:
+                        cur.append(bytes.fromhex(h.decode("ascii")))
+                    except ValueError:
+                        cur.append(b"")
+                    continue
+                if g == 3:
+                    cur.append(Name(_decode_name(m.group(3))))
+                    continue
+                if g == 4:
+                    op = m.group(4).decode("latin1")
+                    if op in ("true", "false", "null"):
+                        cur.append(True if op == "true"
+                                   else (False if op == "false" else None))
                         continue
-                s, pos = read_string(pos)
-                cur.append(s)
-                it = _TOKEN_RE.finditer(data, pos)
-            elif d == b"<":
-                s, pos = read_hex(pos)
-                cur.append(s)
-                it = _TOKEN_RE.finditer(data, pos)
-            elif d == b"[":
-                arrays.append(cur)
-                new: list = []
-                cur.append(new)
-                cur = new
-            elif d == b"]":
-                if arrays:
-                    cur = arrays.pop()
-            elif d == b"<<":
-                # rare inline dict (BDC property list): full parse
-                from .parser import Parser
-                p = Parser(data, m.start(), xref=None)
-                obj = p.get_obj(allow_streams=False)
-                cur.append(obj)
-                pos = p.pos1   # start of the parser's lookahead token
-                it = _TOKEN_RE.finditer(data, pos)
-            # '>>', '{', '}', stray ')'/'>': ignore
+                    operands = stack
+                    self.pos = pos
+                    yield operands, op, m.start(4)
+                    stack = []
+                    arrays = []
+                    cur = stack
+                    if self.pos != pos:  # handler consumed bytes (BI..EI)
+                        pos = self.pos
+                        running = True
+                        break
+                    continue
+                d = m.group(6)
+                if d == b"(":
+                    # fast path: string without escapes or nested parens
+                    j = data.find(b")", pos)
+                    if j >= 0:
+                        seg = data[pos:j]
+                        if b"\\" not in seg and b"(" not in seg:
+                            cur.append(seg)
+                            pos = j + 1
+                            running = True
+                            break
+                    s, pos = read_string(pos)
+                    cur.append(s)
+                    running = True
+                    break
+                elif d == b"<":
+                    s, pos = read_hex(pos)
+                    cur.append(s)
+                    running = True
+                    break
+                elif d == b"[":
+                    arrays.append(cur)
+                    new: list = []
+                    cur.append(new)
+                    cur = new
+                elif d == b"]":
+                    if arrays:
+                        cur = arrays.pop()
+                elif d == b"<<":
+                    # rare inline dict (BDC property list): full parse
+                    from .parser import Parser
+                    p = Parser(data, m.start(), xref=None)
+                    obj = p.get_obj(allow_streams=False)
+                    cur.append(obj)
+                    pos = p.pos1   # start of the parser lookahead token
+                    running = True
+                    break
+                # '>>', '{', '}', stray ')'/'>': ignore
         # trailing operands without operator are dropped (malformed tail)
