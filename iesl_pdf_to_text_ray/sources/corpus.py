@@ -96,3 +96,37 @@ def read_corpus(path: str):
     except ImportError:
         pass
     return ray.data.read_parquet(path)
+
+
+def read_pdf_files(path: str):
+    """Raw-file source: a directory tree of ``*.pdf`` files -> the corpus
+    schema (doc_id = relative path sans extension, pdf_bytes, n_pages
+    counted lazily inside the reader tasks).  The file-per-document
+    layout the reference CLI consumes (cli.js:22), lifted to a streaming
+    Dataset — read_binary_files shards the listing across tasks, so a
+    million-file tree never lists on the driver."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..pdf.extractor import count_pages
+    ds = ray.data.read_binary_files(path, include_paths=True,
+                                    file_extensions=["pdf"])
+    prefix = os.path.abspath(path)
+
+    def to_corpus(batch: pa.Table) -> pa.Table:
+        ids, blobs, pages = [], [], []
+        for p, data in zip(batch.column("path").to_pylist(),
+                           batch.column("bytes").to_pylist()):
+            rel = os.path.relpath(os.path.abspath(p), prefix)
+            ids.append(os.path.splitext(rel)[0])
+            blobs.append(data)
+            try:
+                pages.append(count_pages(data))
+            except Exception:
+                pages.append(0)
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "pdf_bytes": pa.array(blobs, pa.binary()),
+                         "n_pages": pa.array(pages, pa.int32())},
+                        schema=CORPUS_SCHEMA)
+
+    return ds.map_batches(to_corpus, batch_format="pyarrow", batch_size=8)

@@ -260,3 +260,22 @@ def test_poison_document_quarantined(ray_session, tmp_path):
     assert rows["good"]["error"] == "" and rows["good"]["n_spans"] > 0
     assert rows["poison"]["error"] != "" and rows["poison"]["n_spans"] == 0
     assert rows["empty"]["error"] != ""
+
+
+def test_raw_pdf_file_source(ray_session, tmp_path):
+    """read_pdf_files: a directory tree of raw PDFs becomes the corpus
+    schema and flows through the extraction pipeline."""
+    from iesl_pdf_to_text_ray.sources.corpus import (read_pdf_files,
+                                                     reference_pdf_bytes)
+    blobs = reference_pdf_bytes()
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.pdf").write_bytes(blobs["1301.4293"])
+    (tmp_path / "sub" / "b.pdf").write_bytes(blobs["test25"])
+    (tmp_path / "ignore.txt").write_text("not a pdf")
+    ds = read_pdf_files(str(tmp_path))
+    rows = {r["doc_id"]: r for r in ds.take_all()}
+    assert set(rows) == {"a", "sub/b"}
+    assert rows["a"]["n_pages"] == 4 and rows["sub/b"]["n_pages"] == 7
+    out = extract_dataset(ds, concurrency=2, batch_size=2).take_all()
+    assert {r["doc_id"] for r in out} == {"a", "sub/b"}
+    assert all(r["error"] == "" and r["n_spans"] > 100 for r in out)
