@@ -99,20 +99,20 @@ def main(argv=None) -> int:
         return 2
 
     if args.ray and os.path.isdir(args.input):
+        # the real scale pipeline: raw file tree -> streaming Dataset ->
+        # actor-pool extraction (with skew split) -> sink
         import ray
         if not ray.is_initialized():
             ray.init(address="local", include_dashboard=False)
-        import ray.data
-
-        def per_file(row):
-            return record(row["path"])
-
-        ds = ray.data.from_items([{"path": p} for p in inputs]).flat_map(per_file)
+        from .pipelines.extract_pipeline import extract_dataset
+        from .sources.corpus import read_pdf_files
+        ds = extract_dataset(read_pdf_files(args.input), split_pages=False)
         if args.format == "parquet":
             ds.write_parquet(args.output)
             ray.shutdown()
             return 0
-        rows = ds.take_all()
+        rows = [{"doc_id": r["doc_id"], "spans": r["spans"],
+                 "error": r["error"]} for r in ds.take_all()]
         ray.shutdown()
     else:
         rows = [r for p in inputs for r in record(p)]

@@ -46,3 +46,26 @@ def test_missing_input_is_clean():
     r = run_cli("-i", "/nonexistent.pdf")
     assert r.returncode == 2
     assert "not found" in r.stderr
+
+
+def test_cli_ray_parquet_sink(tmp_path):
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from iesl_pdf_to_text_ray.sources.corpus import reference_pdf_bytes
+    src = tmp_path / "pdfs"
+    src.mkdir()
+    (src / "one.pdf").write_bytes(reference_pdf_bytes()["1301.4293"])
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "iesl_pdf_to_text_ray", "-i", str(src),
+         "-o", str(out), "-f", "parquet", "--ray"],
+        capture_output=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+    t = pq.read_table(str(out))
+    assert t.num_rows == 1
+    row = t.to_pylist()[0]
+    assert row["doc_id"] == "one" and row["error"] == ""
+    assert sum(1 for s in row["spans"] if s["kind"] == "text") == 569
