@@ -177,6 +177,42 @@ def extract_layout_query(sf_dir: str):
     return ds.map_batches(layout, batch_format="pyarrow")
 
 
+def pdf_training_text_query(sf_dir: str):
+    """The engine's reason to exist, end to end in ONE streaming
+    pipeline: PDF bytes -> golden-contract spans -> layout-stripped body
+    text -> training-data quality metrics — extraction feeding the text
+    operators with no materialization between stages.  Rows-only (PDF
+    corpus)."""
+    import pyarrow as pa
+
+    from iesl_pdf_to_text_ray.functions.layout import strip_headers_footers
+    from iesl_pdf_to_text_ray.functions.textops import quality_batch
+    from iesl_pdf_to_text_ray.pipelines.extract_pipeline import extract_dataset
+    ds = extract_dataset(_corpus_dir(), concurrency=(1, 4), batch_size=4)
+
+    def body_text(batch: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for row in batch.to_pylist():
+            body = strip_headers_footers(row["spans"])
+            ids.append(row["doc_id"])
+            texts.append(" ".join(s["text"] for s in body
+                                  if s["kind"] == "text"))
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    ds = ds.map_batches(body_text, batch_format="pyarrow")
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_len": batch.column("text_len"),
+            "alpha_ratio": pc.round(batch.column("alpha_ratio"), 6),
+            "space_ratio": pc.round(batch.column("space_ratio"), 6)})
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
 def pdf_text_items_query(sf_dir: str):
     """getTextContent surface over the PDF corpus (getinfo.js parity):
     per-page item counts + joined text digest.  Rows-only (PDF corpus is
@@ -255,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_metadata": pdf_metadata_query,
         "pdf_text_items": pdf_text_items_query,
         "extract_layout": extract_layout_query,
+        "pdf_training_text": pdf_training_text_query,
         # streaming-ish / relational
         "events_hourly": table_ops.events_hourly,
         "events_daily_pivot": table_ops.events_daily_pivot,
@@ -278,7 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # Queries intentionally absent from oracle_sql(), with why SQL cannot
 # express them (the driver records a rows-only check for these):
 #   extract_corpus / extract_corpus_split / pdf_metadata / pdf_media /
-#   pdf_text_items / extract_layout — operate on the
+#   pdf_text_items / extract_layout / pdf_training_text — operate on the
 #     PDF byte corpus, which is not among the driver's 10 registered
 #     DuckDB views; correctness is enforced instead by golden
 #     span-sequence equality in tests/test_golden.py (4/4 docs exact) and
