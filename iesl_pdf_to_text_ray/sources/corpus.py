@@ -111,14 +111,20 @@ def read_pdf_files(path: str):
     from ..pdf.extractor import count_pages
     ds = ray.data.read_binary_files(path, include_paths=True,
                                     file_extensions=["pdf"])
-    prefix = os.path.abspath(path)
+    is_uri = "://" in path
+    prefix = path.rstrip("/") if is_uri else os.path.abspath(path)
+
+    def _rel(p: str) -> str:
+        if is_uri:  # cloud URIs: plain prefix strip (relpath mangles them)
+            p = p[len(prefix):].lstrip("/") if p.startswith(prefix) else p
+            return p
+        return os.path.relpath(os.path.abspath(p), prefix)
 
     def to_corpus(batch: pa.Table) -> pa.Table:
         ids, blobs, pages = [], [], []
         for p, data in zip(batch.column("path").to_pylist(),
                            batch.column("bytes").to_pylist()):
-            rel = os.path.relpath(os.path.abspath(p), prefix)
-            ids.append(os.path.splitext(rel)[0])
+            ids.append(os.path.splitext(_rel(p))[0])
             blobs.append(data)
             try:
                 pages.append(count_pages(data))
