@@ -100,7 +100,9 @@ def main(argv=None) -> int:
 
     if args.ray and os.path.isdir(args.input):
         # the real scale pipeline: raw file tree -> streaming Dataset ->
-        # actor-pool extraction (with skew split) -> sink
+        # actor-pool extraction (whole-doc path; page-level skew split is
+        # exercised via extract_dataset(split_pages=True) in the driver's
+        # extract_corpus_split query) -> sink
         import ray
         if not ray.is_initialized():
             ray.init(address="local", include_dashboard=False)
@@ -111,11 +113,17 @@ def main(argv=None) -> int:
             ds.write_parquet(args.output)
             ray.shutdown()
             return 0
-        rows = [{"doc_id": r["doc_id"], "spans": r["spans"],
-                 "error": r["error"]} for r in ds.take_all()]
+        # jsonl: stream batches to the sink — constant driver memory, the
+        # corpus never materializes on this side of the object store
+        sink = sys.stdout if args.output == "-" else open(args.output, "w")
+        for batch in ds.iter_batches(batch_size=64, batch_format="pyarrow"):
+            for r in batch.select(["doc_id", "spans", "error"]).to_pylist():
+                sink.write(json.dumps(r, ensure_ascii=False) + "\n")
+        if sink is not sys.stdout:
+            sink.close()
         ray.shutdown()
-    else:
-        rows = [r for p in inputs for r in record(p)]
+        return 0
+    rows = [r for p in inputs for r in record(p)]
 
     if args.format == "parquet":
         import pandas as pd

@@ -125,6 +125,36 @@ def blockpair_pairs_group(group: pa.Table, threshold: float) -> pa.Table:
                      "sim": pa.array(s[keep], pa.float64())})
 
 
+# ---- bounded index-build inputs --------------------------------------------
+
+def bounded_sample(path: str, column: str, cap: int) -> np.ndarray:
+    """Read at most ``cap`` rows of one list<float> column by streaming
+    parquet row groups and stopping at the cap — the index-build sampler.
+    Never materializes the full column: at 10^12 rows this touches the
+    first row group(s) of the first file only (O(cap) memory)."""
+    import pyarrow.parquet as pq
+    pf = pq.ParquetFile(path)
+    rows: list = []
+    for rb in pf.iter_batches(columns=[column]):
+        rows.extend(rb.column(0).to_pylist())
+        if len(rows) >= cap:
+            break
+    return np.asarray(rows[:cap], dtype=np.float64)
+
+
+def dim_minmax_partial(batch: pa.Table, column: str = "embedding"
+                       ) -> pa.Table:
+    """map_batches stage: per-batch per-dimension min/max partial — one
+    output row per batch, so the downstream reduce is O(n_batches), not
+    O(n_rows).  The combiner half of the ann_quantized range aggregate."""
+    m = np.asarray(batch.column(column).to_pylist(), dtype=np.float64)
+    return pa.table({
+        "lo": pa.array([m.min(axis=0).tolist()],
+                       pa.list_(pa.float64())),
+        "hi": pa.array([m.max(axis=0).tolist()],
+                       pa.list_(pa.float64()))})
+
+
 # ---- IVF ------------------------------------------------------------------
 
 def kmeans_fit(vectors: np.ndarray, n_clusters: int, n_iter: int = 8,

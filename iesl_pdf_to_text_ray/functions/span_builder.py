@@ -256,9 +256,6 @@ class SpanBuilder:
         if emitted_glyph:
             # §5.3 rule 4: only runs that placed at least one glyph move the
             # pen reference; number-only and empty runs leave it unchanged.
-            # (The four residual C04 divergences involve zero-width symbolic
-            # Type3 glyphs; no consistent refinement has been found that
-            # keeps the other three documents exact - see tests/test_golden.)
             self.last_end_x = cur.x
 
         cur.txt_element.append_child(tspan)

@@ -74,7 +74,9 @@ class ContentScanner:
         running = True
         while running:
             running = False
-            for m in _TOKEN_RE.finditer(data, pos):
+            # explicit end bound so the scan contract honours self.end if
+            # a caller ever scans a sub-range (today end == len(data))
+            for m in _TOKEN_RE.finditer(data, pos, end):
                 pos = m.end()
                 g = m.lastindex  # 1=num 2=litstr 3=name 4=op 5=hex 6=delim
                 if g == 1:

@@ -319,6 +319,8 @@ def generate_v5_encrypt(user_pwd: bytes, owner_pwd: bytes, p: int,
     oe = _aes_cbc(_r6_hash(opwd, oksalt, u[:48]), b"\x00" * 16, filekey,
                   encrypt=True)
     # /Perms: AES-256-ECB of the permissions block (Algorithm 10)
+    if not _HAS_AES:  # fixture-generation path still needs a clear error
+        raise PdfError("no AES backend: cannot generate V5 /Encrypt")
     pblock = (struct.pack("<I", p & 0xFFFFFFFF) + b"\xff\xff\xff\xff"
               + b"Tadb" + hashlib.md5(b"pr:" + seed).digest()[:4])
     ecb = Cipher(algorithms.AES(filekey), modes.ECB()).encryptor()

@@ -150,9 +150,11 @@ def materialize_image(source, xref) -> dict:
         return out
     bpc = int(fetch(d.get("BitsPerComponent") or d.get("BPC")) or 8)
     if bool(fetch(d.get("ImageMask") or d.get("IM"))):
-        # 1-bit stencil mask -> grayscale PNG
+        # 1-bit stencil mask -> grayscale PNG; same short-row guard as the
+        # raster path (a truncated mask stream must not yield a PNG whose
+        # rows end early)
         px = _unpack_bits(data, w, h, 1, 1, w * h * 4)
-        if px is None:
+        if px is None or len(px) < w * h:
             return out
         out["mime"] = "image/png"
         out["data"] = png_encode(w, h, px, color_type=0)

@@ -85,9 +85,25 @@ class _TextState:
 
 
 def _space_width(font) -> float:
-    """Estimate of the space glyph width (spaceWidth, 36576-36619)."""
+    """Estimate of the space glyph width (spaceWidth, 36576-36619).
+
+    Memoized on the font object: _ensure_item calls this per text item,
+    and building the reverse ToUnicode map is O(|cmap|) — a hot-path cost
+    for CID fonts with large maps."""
     if font is None:
         return 0.0
+    cached = getattr(font, "_space_width_cache", None)
+    if cached is not None:
+        return cached
+    sw = _space_width_uncached(font)
+    try:
+        font._space_width_cache = sw
+    except AttributeError:  # __slots__-style fonts: recompute per item
+        pass
+    return sw
+
+
+def _space_width_uncached(font) -> float:
     rev = {u: c for c, u in font.to_unicode.items()}
     for uni in (" ", "-", "1", "i"):
         code = rev.get(uni, ord(uni))

@@ -29,6 +29,21 @@ def _read(sf_dir: str, table: str, columns=None):
                                  columns=columns)
 
 
+def _read_sized(sf_dir: str, table: str, columns=None,
+                target_block_bytes: int = 32 << 20):
+    """Size-aware read for shuffle-bound inputs (joins): block count
+    derived from file bytes (~32 MB/block, floor 8 for parallelism)
+    instead of Ray's cpu-count heuristic.  Sort-shuffle cost scales with
+    input block count x reduce partitions, so a 4 MB table split into 64
+    near-empty blocks quadruples a join's wall time for nothing; at real
+    scale bytes/32MB naturally grows into the many-block regime."""
+    import ray.data
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    n_blocks = max(8, os.path.getsize(path) // target_block_bytes)
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=n_blocks)
+
+
 # pinned partial-aggregate schemas: empty input blocks must yield the same
 # schema as populated ones (silences RefBundle schema-divergence warnings
 # and protects the downstream groupby from object-dtype inference)
@@ -228,7 +243,7 @@ def ann_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 10):
                         batch_format="pyarrow", batch_size=512,
                         concurrency=(1, 4))
     import functools
-    return ds.groupby("query_id").map_groups(
+    return ds.groupby("query_id", num_partitions=n_queries).map_groups(
         functools.partial(annf.merge_topk_group, k=k),
         batch_format="pyarrow")
 
@@ -243,14 +258,13 @@ def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10,
     the full table)."""
     import functools
 
-    import pyarrow.parquet as pq
     import ray
-    # train the coarse quantizer on a bounded sample (driver-side, small)
-    sample = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=["embedding"]).column("embedding") \
-        .to_pylist()[:2048]
-    centers = annf.kmeans_fit(np.asarray(sample, dtype=np.float64),
-                              n_clusters)
+    # Train the coarse quantizer on a bounded sample: stream row groups and
+    # stop at the cap — never loads the full embeddings column anywhere
+    # (at 10^12 rows this reads the first few row groups of one file).
+    sample = annf.bounded_sample(
+        os.path.join(sf_dir, "embeddings.parquet"), "embedding", 2048)
+    centers = annf.kmeans_fit(sample, n_clusters)
     centers_ref = ray.put(centers)
     q = _load_queries(sf_dir, n_queries)
     # probe sets per query: nearest n_probe centroids
@@ -261,11 +275,11 @@ def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10,
     ds = ds.map_batches(annf.IvfAssign, fn_constructor_args=(centers_ref,),
                         batch_format="pyarrow", batch_size=512,
                         concurrency=(1, 4))
-    ds = ds.groupby("bucket").map_groups(
+    ds = ds.groupby("bucket", num_partitions=n_clusters).map_groups(
         functools.partial(annf.ivf_bucket_topk_group, queries=q,
                           probes=probes, k=k),
         batch_format="pyarrow")
-    return ds.groupby("query_id").map_groups(
+    return ds.groupby("query_id", num_partitions=n_queries).map_groups(
         functools.partial(annf.merge_topk_group, k=k),
         batch_format="pyarrow")
 
@@ -281,15 +295,14 @@ def ann_quantized(sf_dir: str, n_queries: int = 8, k: int = 10):
 
     import ray
 
-    @ray.remote
-    def _dim_range(sf: str):
-        import pyarrow.parquet as pq
-        t = pq.read_table(os.path.join(sf, "embeddings.parquet"),
-                          columns=["embedding"])
-        m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
-        return m.min(axis=0), m.max(axis=0)
-
-    lo, hi = ray.get(_dim_range.remote(sf_dir))
+    # Per-dimension min/max as a distributed partial aggregate: one partial
+    # row per batch inside map_batches, then an O(n_batches) reduce of the
+    # tiny partials — no task ever holds more than one batch of vectors.
+    partials = _read(sf_dir, "embeddings", columns=["embedding"]) \
+        .map_batches(annf.dim_minmax_partial, batch_format="pyarrow",
+                     batch_size=1024).take_all()
+    lo = np.min([p["lo"] for p in partials], axis=0)
+    hi = np.max([p["hi"] for p in partials], axis=0)
     span = np.where(hi > lo, hi - lo, 1.0)
     q = _load_queries(sf_dir, n_queries)
     qmat = annf.normalize(np.asarray(q["vecs"], dtype=np.float64))
@@ -331,7 +344,7 @@ def ann_quantized(sf_dir: str, n_queries: int = 8, k: int = 10):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ds = ds.map_batches(QuantizedTopK, batch_format="pyarrow",
                         batch_size=512, concurrency=(1, 4))
-    return ds.groupby("query_id").map_groups(
+    return ds.groupby("query_id", num_partitions=n_queries).map_groups(
         functools.partial(annf.merge_topk_group, k=k),
         batch_format="pyarrow")
 
@@ -750,9 +763,9 @@ def order_revenue(sf_dir: str, k: int = 10):
     order and top-k.  The per-order aggregation happens inside the join
     output via partial combiners, so the second shuffle is O(orders)."""
     from .joins import hash_join
-    orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_orderstatus",
-                            "o_orderpriority"])
+    orders = _read_sized(sf_dir, "orders",
+                         columns=["o_orderkey", "o_orderstatus",
+                                  "o_orderpriority"])
 
     def only_open(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -760,9 +773,9 @@ def order_revenue(sf_dir: str, k: int = 10):
 
     orders = orders.map_batches(only_open, batch_format="pyarrow")
     orders = orders.select_columns(["o_orderkey", "o_orderpriority"])
-    lineitem = _read(sf_dir, "lineitem",
-                     columns=["l_orderkey", "l_extendedprice",
-                              "l_discount"])
+    lineitem = _read_sized(sf_dir, "lineitem",
+                           columns=["l_orderkey", "l_extendedprice",
+                                    "l_discount"])
 
     def per_order_topk(df):
         # an order's lineitems are fully co-located in this partition, so
@@ -950,10 +963,11 @@ def local_supplier_revenue(sf_dir: str):
 
     maps_ref = _build_maps.remote(sf_dir)
 
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    lineitem = _read(sf_dir, "lineitem",
-                     columns=["l_orderkey", "l_suppkey",
-                              "l_extendedprice", "l_discount"])
+    orders = _read_sized(sf_dir, "orders",
+                         columns=["o_orderkey", "o_custkey"])
+    lineitem = _read_sized(sf_dir, "lineitem",
+                           columns=["l_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"])
 
     def local_partial(df):
         # folded into the join's partition merge: broadcast maps resolved
@@ -975,7 +989,9 @@ def local_supplier_revenue(sf_dir: str):
     ds = hash_join(orders, lineitem, "o_orderkey", "l_orderkey",
                    n_parts=32, merge_post=local_partial,
                    post_schema=_LOCAL_REV_PARTIAL_SCHEMA)
-    ds = ds.groupby("nation").aggregate(Sum("part_rev"), Sum("part_n"))
+    # 25 nations: a handful of reduce partitions is plenty
+    ds = ds.groupby("nation", num_partitions=8).aggregate(
+        Sum("part_rev"), Sum("part_n"))
 
     def rename(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -996,9 +1012,10 @@ def events_range_pairs(sf_dir: str, window_sec: int = 60):
     of each other.  Banded-bucket plan: each event lands in its
     ``window_sec`` time bucket and the next one, so any qualifying pair
     co-occurs in >=1 bucket; buckets are coarse-partitioned and searched
-    with a per-(bucket,user) two-pointer over sorted timestamps; pair
+    with one vectorized searchsorted over run-keyed timestamps; pair
     dedup (a pair can surface in two buckets) is a tiny groupby."""
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    ds = _read_sized(sf_dir, "events",
+                     columns=["event_id", "user_id", "ts"])
     w_us = window_sec * 1_000_000
     n_parts = 64
 
@@ -1017,6 +1034,13 @@ def events_range_pairs(sf_dir: str, window_sec: int = 60):
                                     schema=_RANGE_BAND_SCHEMA)
 
     def pairs(group: pa.Table) -> pa.Table:
+        """Fully vectorized window-pair expansion: sort by (bucket, user,
+        ts), find each row's window end with one searchsorted over a
+        run-keyed timestamp (runs offset so windows never cross a
+        (bucket,user) boundary), then build all pairs with repeat/arange
+        arithmetic.  No per-row Python, no in-kernel dedup — a pair of
+        distinct events appears at most once per run, and the downstream
+        (id_a,id_b) groupby removes the cross-bucket duplicate."""
         bucket = np.asarray(group.column("bucket"))
         user = np.asarray(group.column("user_id"))
         ts = np.asarray(group.column("ts_us"))
@@ -1024,37 +1048,35 @@ def events_range_pairs(sf_dir: str, window_sec: int = 60):
         order = np.lexsort((ts, ids, user, bucket))
         b, u, t, e = bucket[order], user[order], ts[order], ids[order]
         n = len(b)
-        runs = np.flatnonzero(np.concatenate(
+        starts = np.flatnonzero(np.concatenate(
             ([True], (b[1:] != b[:-1]) | (u[1:] != u[:-1]))))
-        ends = np.concatenate((runs[1:], [n]))
-        a_out, b_out, uu, dt = [], [], [], []
-        seen = set()
-        for s, epos in zip(runs, ends):
-            tt, ee = t[s:epos], e[s:epos]
-            for i in range(len(tt)):
-                j = i + 1
-                while j < len(tt) and tt[j] - tt[i] <= w_us:
-                    lo, hi = ((ee[i], ee[j]) if ee[i] < ee[j]
-                              else (ee[j], ee[i]))
-                    if lo != hi and (lo, hi) not in seen:
-                        seen.add((lo, hi))
-                        signed = (tt[j] - tt[i] if ee[i] < ee[j]
-                                  else tt[i] - tt[j])
-                        a_out.append(lo)
-                        b_out.append(hi)
-                        uu.append(u[s])
-                        dt.append(round(signed / 1e6, 6))
-                    j += 1
-        return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                         "id_b": pa.array(b_out, pa.int64()),
-                         "user_id": pa.array(uu, pa.int64()),
-                         "dt_sec": pa.array(dt, pa.float64())})
+        run_len = np.diff(np.concatenate((starts, [n])))
+        run_id = np.repeat(np.arange(len(starts), dtype=np.int64), run_len)
+        # within a run all events share a band bucket, so ts spans < 2*w_us;
+        # key runs apart by 4*w_us so searchsorted stays inside the run
+        t_rel = t - np.repeat(t[starts], run_len)
+        key = run_id * (4 * w_us) + t_rel
+        win_end = np.searchsorted(key, key + w_us, side="right")
+        counts = win_end - np.arange(n) - 1
+        a_idx = np.repeat(np.arange(n), counts)
+        offs = np.arange(counts.sum()) - np.repeat(
+            np.concatenate(([0], counts.cumsum()[:-1])), counts)
+        b_idx = a_idx + 1 + offs
+        e_a, e_b = e[a_idx], e[b_idx]
+        dt_us = t[b_idx] - t[a_idx]
+        signed = np.where(e_a < e_b, dt_us, -dt_us)
+        return pa.table({
+            "id_a": pa.array(np.minimum(e_a, e_b), pa.int64()),
+            "id_b": pa.array(np.maximum(e_a, e_b), pa.int64()),
+            "user_id": pa.array(u[a_idx], pa.int64()),
+            "dt_sec": pa.array(np.round(signed / 1e6, 6), pa.float64())})
 
     from ray.data.aggregate import Max
     ds = ds.map_batches(band, batch_format="pyarrow")
-    ds = ds.groupby("part").map_groups(pairs, batch_format="pyarrow")
-    ds = ds.groupby(["id_a", "id_b"]).aggregate(Max("user_id"),
-                                                Max("dt_sec"))
+    ds = ds.groupby("part", num_partitions=n_parts).map_groups(
+        pairs, batch_format="pyarrow")
+    ds = ds.groupby(["id_a", "id_b"], num_partitions=16).aggregate(
+        Max("user_id"), Max("dt_sec"))
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({"id_a": batch.column("id_a"),
@@ -1077,8 +1099,10 @@ def events_asof_orders(sf_dir: str):
     matched order *date* (deterministic under same-date order ties, which
     an order-key output would not be)."""
     from .joins import asof_join
-    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    events = _read_sized(sf_dir, "events",
+                         columns=["event_id", "user_id", "ts"])
+    orders = _read_sized(sf_dir, "orders",
+                         columns=["o_custkey", "o_orderdate"])
 
     def dedup_dates(batch: pa.Table) -> pa.Table:
         # per-customer-per-date dedup (combiner): the as-of target is the

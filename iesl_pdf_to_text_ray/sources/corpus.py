@@ -98,6 +98,24 @@ def read_corpus(path: str):
     return ray.data.read_parquet(path)
 
 
+def relative_doc_path(resolved: str, input_path: str) -> str:
+    """Doc-id path of one resolved file path relative to the input dir.
+
+    Cloud URIs need a plain prefix strip (os.path.relpath mangles
+    ``s3://``), and read_binary_files(include_paths=True) yields
+    pyarrow-resolved paths WITHOUT the scheme (``s3://bucket/key`` comes
+    back as ``bucket/key``) — so match the scheme-stripped prefix too.
+    """
+    if "://" in input_path:
+        prefix = input_path.rstrip("/")
+        for pref in (prefix, prefix.split("://", 1)[-1]):
+            if resolved.startswith(pref):
+                return resolved[len(pref):].lstrip("/")
+        return resolved
+    return os.path.relpath(os.path.abspath(resolved),
+                           os.path.abspath(input_path))
+
+
 def read_pdf_files(path: str):
     """Raw-file source: a directory tree of ``*.pdf`` files -> the corpus
     schema (doc_id = relative path sans extension, pdf_bytes, n_pages
@@ -111,14 +129,8 @@ def read_pdf_files(path: str):
     from ..pdf.extractor import count_pages
     ds = ray.data.read_binary_files(path, include_paths=True,
                                     file_extensions=["pdf"])
-    is_uri = "://" in path
-    prefix = path.rstrip("/") if is_uri else os.path.abspath(path)
-
     def _rel(p: str) -> str:
-        if is_uri:  # cloud URIs: plain prefix strip (relpath mangles them)
-            p = p[len(prefix):].lstrip("/") if p.startswith(prefix) else p
-            return p
-        return os.path.relpath(os.path.abspath(p), prefix)
+        return relative_doc_path(p, path)
 
     def to_corpus(batch: pa.Table) -> pa.Table:
         ids, blobs, pages = [], [], []

@@ -279,3 +279,21 @@ def test_raw_pdf_file_source(ray_session, tmp_path):
     out = extract_dataset(ds, concurrency=2, batch_size=2).take_all()
     assert {r["doc_id"] for r in out} == {"a", "sub/b"}
     assert all(r["error"] == "" and r["n_spans"] > 100 for r in out)
+
+
+def test_relative_doc_path_cloud_uris():
+    """Cloud doc-ids must be relative to the input dir even though
+    read_binary_files yields pyarrow-resolved paths with the scheme
+    stripped (s3://bucket/dir/x.pdf -> bucket/dir/x.pdf)."""
+    from iesl_pdf_to_text_ray.sources.corpus import relative_doc_path
+    # scheme-stripped resolved path (what pyarrow actually returns)
+    assert relative_doc_path("bucket/corpus/a/b.pdf",
+                             "s3://bucket/corpus") == "a/b.pdf"
+    # full-URI resolved path (defensive: some filesystems keep the scheme)
+    assert relative_doc_path("s3://bucket/corpus/a/b.pdf",
+                             "s3://bucket/corpus/") == "a/b.pdf"
+    # non-matching prefix falls through unchanged
+    assert relative_doc_path("other/x.pdf",
+                             "s3://bucket/corpus") == "other/x.pdf"
+    # local paths use relpath
+    assert relative_doc_path("/data/in/sub/c.pdf", "/data/in") == "sub/c.pdf"

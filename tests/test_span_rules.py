@@ -144,6 +144,40 @@ def test_fontsize_zero_emits_nothing():
     assert texts(b) == []
 
 
+def test_multichar_chunk_x_alignment():
+    """Multi-char toUnicode chunks (ligatures like "ffi") get ONE x entry
+    for the whole chunk, so len(xs) < len(text); -1 sentinels still mark
+    exactly the inserted word spaces when walked chunk-wise (the case the
+    golden corpus' len(xs)==len(text) fast path never exercises)."""
+    b = fresh()
+    b.show_text([("a", 500.0), -200.0, ("ffi", 1500.0), -200.0, ("b", 500.0)])
+    (kind, text, _ref, xs, y, _mat), = b.collect()
+    assert kind == "text" and text == "a ffi b"
+    # chunks: "a", inserted-space, "ffi", inserted-space, "b"
+    assert len(xs) == 5 < len(text)
+    assert [i for i, v in enumerate(xs) if v == -1.0] == [1, 3]
+    # walk chunk-wise: sentinel chunks are the spaces, multi-char chunk
+    # consumes its full unicode with a single coordinate
+    chunks = ["a", " ", "ffi", " ", "b"]
+    assert "".join(chunks) == text
+    for c, x in zip(chunks, xs):
+        assert (x == -1.0) == (c == " ")
+    # real coordinates advance monotonically (a@0, ffi@7, b@24)
+    assert xs[0] == 0.0 and xs[2] == 7.0 and xs[4] == 24.0
+
+
+def test_multichar_chunk_internal_space_no_sentinel():
+    """A space INSIDE a chunk's unicode (e.g. toUnicode "a b") is glyph
+    content, not an inserted word space — no -1 sentinel appears."""
+    b = fresh()
+    b.show_text([("x y", 1000.0), -200.0, ("z", 500.0)])
+    (_k, text, _ref, xs, _y, _mat), = b.collect()
+    assert text == "x y z"
+    # chunks: "x y", inserted-space, "z" -> one sentinel only
+    assert len(xs) == 3
+    assert [i for i, v in enumerate(xs) if v == -1.0] == [1]
+
+
 def test_empty_run_does_not_move_pen_reference():
     b = fresh()
     b.show_text([("a", 500.0)])        # ends at 5.0
