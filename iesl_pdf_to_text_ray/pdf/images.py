@@ -7,7 +7,9 @@ natively-supported JPEGs pass through unre-encoded (45194-45201).
 Scope (SURVEY.md §7.4 revisited): FlateDecode/LZW/A85/AHx/RL rasters with
 DeviceGray/DeviceRGB/Indexed/ICC colorspaces at 1/2/4/8 bits per
 component are decoded to pixels and PNG-encoded (pure zlib, no image
-libraries); DCTDecode passes through as JPEG bytes; JPX/JBIG2/CCITT are
+libraries); CCITTFaxDecode G3/G4 decodes via the pure-Python T.4/T.6
+decoder (pdf/ccitt.py, cross-validated against the reference's
+CCITTFaxStream); DCTDecode passes through as JPEG bytes; JPX/JBIG2 are
 identified but not decoded (no codecs in this environment — returned with
 ``mime=None`` and the raw payload so a downstream stage with codecs can
 finish the job).
@@ -48,7 +50,8 @@ def png_encode(width: int, height: int, pixels: bytes,
 
 
 _PASSTHROUGH_JPEG = ("DCTDecode", "DCT")
-_UNSUPPORTED = ("JPXDecode", "JBIG2Decode", "CCITTFaxDecode", "CCF")
+_UNSUPPORTED = ("JPXDecode", "JBIG2Decode")
+_CCITT = ("CCITTFaxDecode", "CCF")
 
 
 def _filters_of(d: dict, fetch) -> list[str]:
@@ -118,6 +121,35 @@ def _unpack_bits(data: bytes, width: int, height: int, bpc: int,
     return bytes(out)
 
 
+def _ccitt_pixels(d: dict, fl: list[str], payload: bytes, w: int, h: int,
+                  fetch) -> bytes | None:
+    """Run the CCITT fax decoder with the filter's DecodeParms; returns
+    packed 1-bit rows (the 1-bpc gray layout _unpack_bits expects) or
+    None if the stream does not decode to the full image."""
+    from .ccitt import ccitt_decode
+    parms = fetch(d.get("DecodeParms") or d.get("DP"))
+    if isinstance(parms, list):
+        idx = next((i for i, f in enumerate(fl) if f in _CCITT), 0)
+        parms = fetch(parms[idx]) if idx < len(parms) else None
+    parms = parms if isinstance(parms, dict) else {}
+    parms = {k: fetch(v) for k, v in parms.items()}
+    try:
+        packed, n_rows = ccitt_decode(
+            payload,
+            k=int(parms.get("K") or 0),
+            columns=int(parms.get("Columns") or 1728),
+            rows=int(parms.get("Rows") or h or 0),
+            black_is_1=bool(parms.get("BlackIs1")),
+            byte_align=bool(parms.get("EncodedByteAlign")),
+            end_of_line=bool(parms.get("EndOfLine")))
+    except Exception:
+        return None
+    stride = (int(parms.get("Columns") or 1728) + 7) // 8
+    if n_rows < h or stride != (w + 7) // 8:
+        return None   # truncated or Columns/Width mismatch: keep raw
+    return packed[:h * stride]
+
+
 def materialize_image(source, xref) -> dict:
     """One media source (from PageInterpreter.media_sink) -> bytes.
 
@@ -148,6 +180,15 @@ def materialize_image(source, xref) -> dict:
         data = decode_stream(stm, xref)
     except Exception:
         return out
+    if any(f in _CCITT for f in fl):
+        # CCITT G3/G4 fax decode (pdf/ccitt.py; reference CCITTFaxStream
+        # pdf.combined.js:22827): decode_stream applied any preceding
+        # filters and stopped at the fax payload.  Output bits follow the
+        # 1-bpc gray convention directly (0 = black unless BlackIs1).
+        data = _ccitt_pixels(d, fl, data, w, h, fetch)
+        if data is None:
+            out["data"] = stm.raw
+            return out
     bpc = int(fetch(d.get("BitsPerComponent") or d.get("BPC")) or 8)
     if bool(fetch(d.get("ImageMask") or d.get("IM"))):
         # 1-bit stencil mask -> grayscale PNG; same short-row guard as the
