@@ -15,10 +15,11 @@ font_name}`` items with the documented heuristics:
 * Form XObject recursion with saved state (46319-46366), ExtGState
   nested Font (46367-46393).
 
+Item strings run through the full bidi reorder (pdf/bidi.py, parity with
+PDFJS.bidi incl. its quirks — runBidiTransform, 46033-46045).
+
 Known approximations (documented, no golden exists for this surface —
 the reference repo ships no getTextContent expected outputs):
-* bidi: light heuristic (dir='rtl' iff the item contains Hebrew/Arabic
-  codepoints) instead of the full UAX#9 implementation (bidi, 1695+);
 * NormalizedUnicodes table approximated by NFKC on non-ASCII chars;
 * isMonospace is not tracked (textRunBreakAllowed whenever spaceWidth>0).
 """
@@ -28,6 +29,7 @@ from __future__ import annotations
 import math
 import unicodedata
 
+from .bidi import bidi
 from .content_scanner import ContentScanner
 from .objects import Name, Stream
 
@@ -114,18 +116,6 @@ def _space_width_uncached(font) -> float:
         if w:
             return float(w)
     return float(font.default_width)
-
-
-_RTL_RANGES = ((0x0590, 0x08FF), (0xFB1D, 0xFDFF), (0xFE70, 0xFEFF))
-
-
-def _dir_of(s: str) -> str:
-    for ch in s:
-        o = ord(ch)
-        for a, b in _RTL_RANGES:
-            if a <= o <= b:
-                return "rtl"
-    return "ltr"
 
 
 def _normalize(uni: str) -> str:
@@ -226,8 +216,10 @@ class TextContentExtractor:
         it = self.item
         if not it.initialized:
             return
-        s = "".join(it.str)
-        self.items.append({"str": s, "dir": _dir_of(s),
+        # runBidiTransform (46033-46045): the item string is replaced by
+        # the bidi display order and dir comes from the algorithm
+        s, direction = bidi("".join(it.str), -1, it.vertical)
+        self.items.append({"str": s, "dir": direction,
                            "width": it.width, "height": it.height,
                            "transform": it.transform,
                            "font_name": it.font_name})

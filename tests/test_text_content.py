@@ -64,3 +64,44 @@ def test_form_xobject_recursion(corpus):
     pages = extract_text_content(corpus["test24"])
     joined = " ".join(i["str"] for p in pages for i in p["items"])
     assert "Thiocyanato" in joined
+
+
+def test_rtl_item_bidi_reorder():
+    """A synthetic Hebrew page: items must flow through the full bidi
+    reorder (pdf/bidi.py) — dir='rtl' and display order reversed, with
+    trailing Latin/digits kept LTR inside the RTL line (reference
+    runBidiTransform, pdf.combined.js:46033-46045)."""
+    from tests.test_ccitt import _pdf
+
+    # ToUnicode maps codes 0x41.. to Hebrew shalom + " 12"
+    heb = "שלום"        # shin lamed vav mem
+    bf = "".join(f"<{0x41 + i:02X}> <{ord(c):04X}>\n"
+                 for i, c in enumerate(heb))
+    tounicode = (
+        "/CIDInit /ProcSet findresource begin\n12 dict begin begincmap\n"
+        "1 begincodespacerange <00> <FF> endcodespacerange\n"
+        f"{len(heb)} beginbfchar\n{bf}endbfchar\n"
+        "endcmap end end").encode()
+    content = b"BT /F1 12 Tf 72 700 Td (ABCD 12) Tj ET"
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        4: b"<< /Length %d >>\nstream\n" % len(content) + content
+           + b"\nendstream",
+        5: (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/ToUnicode 6 0 R >>"),
+        6: b"<< /Length %d >>\nstream\n" % len(tounicode) + tounicode
+           + b"\nendstream",
+    }
+    pages = extract_text_content(_pdf(objects))
+    items = [i for p in pages for i in p["items"]]
+    assert len(items) == 1
+    item = items[0]
+    assert item["dir"] == "rtl"
+    # display order: Hebrew reversed, digit run intact, all RTL-flowed
+    from iesl_pdf_to_text_ray.pdf.bidi import bidi
+    assert item["str"] == bidi(heb + " 12", -1)[0]
+    assert "12" in item["str"]           # EN run not internally reversed
+    assert item["str"][-1] == heb[0]     # first logical char displays last
