@@ -309,6 +309,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": table_ops.events_asof_orders,
         "events_range_pairs": table_ops.events_range_pairs,
         "pricing_summary": table_ops.pricing_summary,
+        # round-3 additions
+        "text_normalize": table_ops.text_normalize,
+        "quantile_stats": table_ops.quantile_stats,
+        "customers_no_orders": table_ops.customers_no_orders,
+        "running_revenue": table_ops.running_revenue,
+        "ngram_topk": table_ops.ngram_topk,
+        "stratified_sample": table_ops.stratified_sample,
+        "neardup_components": table_ops.neardup_components,
     }
 
 
@@ -681,5 +689,97 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "text_normalize": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS norm_text,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS norm_hash,
+                   length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       ::BIGINT AS n_chars_norm
+            FROM documents
+        """,
+        "quantile_stats": """
+            SELECT lang, 0.25 AS quantile,
+                   quantile_disc(n_chars, 0.25)::BIGINT AS n_chars
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.5, quantile_disc(n_chars, 0.5)::BIGINT
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.75, quantile_disc(n_chars, 0.75)::BIGINT
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.9, quantile_disc(n_chars, 0.9)::BIGINT
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT lang, 0.99, quantile_disc(n_chars, 0.99)::BIGINT
+            FROM documents GROUP BY lang
+        """,
+        "customers_no_orders": """
+            SELECT c_mktsegment,
+                   count(*) AS n_customers,
+                   CAST(sum(CAST(floor(abs(c_acctbal * 100) + 0.5)
+                                 * sign(c_acctbal) AS BIGINT)) AS BIGINT)
+                       AS total_acctbal_cents
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment
+        """,
+        "running_revenue": """
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                       AS running_cents
+            FROM orders
+        """,
+        "ngram_topk": """
+            WITH toks AS (SELECT string_split(text, ' ') AS w
+                          FROM documents),
+            bg AS (
+              SELECT w[i] || ' ' || w[i+1] AS bigram
+              FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) r)
+            SELECT bigram, count(*)::BIGINT AS n
+            FROM bg GROUP BY bigram
+            ORDER BY n DESC, bigram ASC LIMIT 20
+        """,
+        "stratified_sample": """
+            WITH cnt AS (SELECT lang, count(*) AS n
+                         FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN cnt USING (lang)
+            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT
+                  % 10000
+                  < CAST(least(10000, ceil(10000.0 * 50 / cnt.n)) AS UBIGINT)
+        """,
+        "neardup_components": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s)
+                       - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.4),
+            sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                    UNION ALL
+                    SELECT doc_b, doc_a FROM pairs),
+            reach(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.u, r.comp FROM reach r JOIN sym s ON s.v = r.node)
+            SELECT node AS doc_id, min(comp) AS component
+            FROM reach GROUP BY node
         """,
     }

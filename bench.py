@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALING_DOCS = 4096
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "4096"))
 SCALE_N = int(os.environ.get("GRAFT_SCALE_N", "4"))
 
 

@@ -30,6 +30,15 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _pd_table(df: pd.DataFrame, schema: pa.Schema | None = None) -> pa.Table:
+    """from_pandas with the b'pandas' schema metadata stripped: blocks
+    with and without that metadata hash as *different* schemas in Ray's
+    shuffle dedup ("Failed to hash the schemas" warnings) even when the
+    columns are identical."""
+    t = pa.Table.from_pandas(df, preserve_index=False, schema=schema)
+    return t.replace_schema_metadata(None)
+
+
 def _part_of(col: pa.ChunkedArray, n_parts: int) -> np.ndarray:
     vals = col.to_pandas()
     # stable deterministic hash for any dtype (murmur-based, seed fixed)
@@ -91,16 +100,25 @@ def hash_join(left, right, left_on: str, right_on: str, *,
     pattern."""
     tagged, l_names, r_names, out_schema = _flat_union(
         left, right, left_on, right_on, n_parts)
+    if how in ("anti", "semi") and merge_post is None:
+        # existence joins keep only left columns (fields from the flat
+        # union schema — already valid pyarrow types)
+        out_schema = pa.schema([out_schema.field(n) for n in l_names])
     schema = post_schema if merge_post is not None else out_schema
 
     def merge(group: pa.Table) -> pa.Table:
         ldf, rdf = _split_sides(group, l_names, r_names)
-        out = ldf.merge(rdf, left_on=left_on, right_on=right_on, how=how)
+        if how in ("anti", "semi"):
+            # existence check: key membership is exact because the hash
+            # partitioning co-locates every occurrence of a key
+            present = ldf[left_on].isin(rdf[right_on].unique())
+            out = ldf[~present] if how == "anti" else ldf[present]
+        else:
+            out = ldf.merge(rdf, left_on=left_on, right_on=right_on, how=how)
         if merge_post is not None:
             out = merge_post(out)
         out = out[[c for c in schema.names]]
-        return pa.Table.from_pandas(out, preserve_index=False,
-                                    schema=schema)
+        return _pd_table(out, schema)
 
     # num_partitions=n_parts: the shuffle's reduce width is the join's
     # partition count, not the accidental input block count — sort-shuffle
@@ -127,8 +145,7 @@ def asof_join(left, right, *, left_by: str, right_by: str,
                             left_by=left_by, right_by=right_by,
                             direction="backward")
         out = out[[c for c in out_schema.names]]
-        return pa.Table.from_pandas(out, preserve_index=False,
-                                    schema=out_schema)
+        return _pd_table(out, out_schema)
 
     return tagged.groupby("part", num_partitions=n_parts) \
         .map_groups(merge, batch_format="pyarrow")

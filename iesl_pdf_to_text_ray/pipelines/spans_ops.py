@@ -92,8 +92,11 @@ def normalize_spans_batch(batch: pa.Table) -> pa.Table:
 def spans_pipeline(sf_dir: str):
     """documents -> synthesize interleaved spans -> normalize -> stats."""
     import ray.data
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
+    from .table_ops import _clean_schema
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"],
+                               schema=_clean_schema(path,
+                                                    ["doc_id", "text"]))
     ds = ds.map_batches(synthesize_spans_batch, batch_format="pyarrow")
     ds = ds.map_batches(normalize_spans_batch, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "n_spans_in", "n_spans_out",

@@ -21,12 +21,28 @@ import pyarrow as pa
 from ..functions import ann as annf
 from ..functions import dedup as dd
 from ..functions import textops as tx
+from .joins import _pd_table
+
+
+def _clean_schema(path: str, columns=None) -> pa.Schema:
+    """File schema with key-value metadata dropped (and pruned to
+    ``columns``): pandas-written parquet attaches a b'pandas' metadata
+    blob, and pyarrow Schemas with metadata are unhashable — every Ray
+    shuffle/split over such blocks logs a unify_schemas warning.  Passing
+    an explicit clean schema to read_parquet keeps every downstream block
+    metadata-free."""
+    import pyarrow.parquet as pq
+    s = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        s = pa.schema([s.field(c) for c in columns])
+    return s
 
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    return ray.data.read_parquet(path, columns=columns,
+                                 schema=_clean_schema(path, columns))
 
 
 def _read_sized(sf_dir: str, table: str, columns=None,
@@ -41,7 +57,8 @@ def _read_sized(sf_dir: str, table: str, columns=None,
     path = os.path.join(sf_dir, f"{table}.parquet")
     n_blocks = max(8, os.path.getsize(path) // target_block_bytes)
     return ray.data.read_parquet(path, columns=columns,
-                                 override_num_blocks=n_blocks)
+                                 override_num_blocks=n_blocks,
+                                 schema=_clean_schema(path, columns))
 
 
 # pinned partial-aggregate schemas: empty input blocks must yield the same
@@ -150,15 +167,13 @@ def top_docs_per_lang(sf_dir: str, k: int = 3):
         df = batch.to_pandas()
         df = df.sort_values(["lang", "n_chars", "doc_id"],
                             ascending=[True, False, True])
-        return pa.Table.from_pandas(df.groupby("lang").head(k),
-                                    preserve_index=False,
-                                    schema=batch.schema)
+        return _pd_table(df.groupby("lang").head(k), batch.schema)
 
     def merge_topk(group: pa.Table) -> pa.Table:
         df = group.to_pandas().sort_values(
             ["n_chars", "doc_id"], ascending=[False, True]).head(k)
         df["rank"] = np.arange(1, len(df) + 1, dtype="int64")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _pd_table(df)
 
     ds = ds.map_batches(local_topk, batch_format="pyarrow")
     return ds.groupby("lang").map_groups(merge_topk,
@@ -443,8 +458,7 @@ def events_hourly(sf_dir: str):
             "%Y-%m-%d %H:%M:%S")
         g = df.groupby(["window_start", "event_type"], as_index=False).agg(
             part_n=("value", "size"), part_sum=("value", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False,
-                                    schema=_HOURLY_PARTIAL_SCHEMA)
+        return _pd_table(g, _HOURLY_PARTIAL_SCHEMA)
 
     from ray.data.aggregate import Sum
     ds = ds.map_batches(partial_agg, batch_format="pyarrow")
@@ -477,8 +491,7 @@ def events_daily_pivot(sf_dir: str):
             fill_value=0).reindex(columns=_EVENT_TYPES, fill_value=0)
             .reset_index())
         g.columns = ["day"] + [f"n_{t}" for t in _EVENT_TYPES]
-        return pa.Table.from_pandas(g, preserve_index=False,
-                                    schema=_PIVOT_SCHEMA)
+        return _pd_table(g, _PIVOT_SCHEMA)
 
     from ray.data.aggregate import Sum
     ds = ds.map_batches(partial, batch_format="pyarrow")
@@ -519,10 +532,9 @@ def pricing_rollup(sf_dir: str):
             "count_order": [df["count_order"].sum()]})
         out = pd.concat([df, lvl1, lvl2], ignore_index=True)
         out["sum_qty"] = out["sum_qty"].round(2)
-        return pa.Table.from_pandas(
+        return _pd_table(
             out[["l_returnflag", "l_linestatus", "sum_qty",
-                 "count_order"]], preserve_index=False,
-            schema=_ROLLUP_SCHEMA)
+                 "count_order"]], _ROLLUP_SCHEMA)
 
     # the grouped result is tiny: single-block rollup derivation
     return base.repartition(1).map_batches(rollup, batch_format="pyarrow")
@@ -559,7 +571,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
             "session_start": g["ts"].min().dt.strftime(
                 "%Y-%m-%d %H:%M:%S.%f").values,
             "sum_value": np.round(g["value"].sum().values, 6)})
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _pd_table(out)
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
 
@@ -585,7 +597,7 @@ def events_sessionize_scalable(sf_dir: str, gap_minutes: int = 30):
         part = ((df["user_id"].to_numpy() * np.int64(1315423911)
                  + day_ord) % n_parts).astype("int32")
         df["part"] = part
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _pd_table(df)
 
     def day_sessions_part(group: pa.Table) -> pa.Table:
         # one coarse partition: (user, day) runs recovered by sort, all
@@ -605,8 +617,7 @@ def events_sessionize_scalable(sf_dir: str, gap_minutes: int = 30):
             "last_ts": g["ts"].max().values,
             "n_events": g.size().astype("int64").values,
             "sum_value": g["value"].sum().values})
-        return pa.Table.from_pandas(out, preserve_index=False,
-                                    schema=_DAY_SESSION_SCHEMA)
+        return _pd_table(out, _DAY_SESSION_SCHEMA)
 
     ds = ds.map_batches(add_part, batch_format="pyarrow")
     ds = ds.groupby("part").map_groups(day_sessions_part,
@@ -624,7 +635,7 @@ def events_sessionize_scalable(sf_dir: str, gap_minutes: int = 30):
             "session_start": g["first_ts"].min().dt.strftime(
                 "%Y-%m-%d %H:%M:%S.%f").values,
             "sum_value": np.round(g["sum_value"].sum().values, 6)})
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _pd_table(out)
 
     return ds.groupby("user_id").map_groups(stitch, batch_format="pyarrow")
 
@@ -655,8 +666,7 @@ def events_watermark_late(sf_dir: str, lateness_min: int = 10,
         df = batch.to_pandas()
         df["bucket"] = df["event_id"] // bucket_size
         g = df.groupby("bucket", as_index=False).agg(bmax=("ts", "max"))
-        return pa.Table.from_pandas(g, preserve_index=False,
-                                    schema=_WM_BUCKET_SCHEMA)
+        return _pd_table(g, _WM_BUCKET_SCHEMA)
 
     # (1)+(2): bucket maxima are tiny (n/B rows) — reduce, prefix driver-side
     from ray.data.aggregate import Max
@@ -687,8 +697,7 @@ def events_watermark_late(sf_dir: str, lateness_min: int = 10,
         g = df.groupby("window_start", as_index=False).agg(
             part_n=("value", "size"), part_late=("late", "sum"),
             part_sum=("value", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False,
-                                    schema=_WM_PARTIAL_SCHEMA)
+        return _pd_table(g, _WM_PARTIAL_SCHEMA)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -736,8 +745,7 @@ def pricing_summary(sf_dir: str):
             part_base=("l_extendedprice", "sum"),
             part_disc=("disc_price", "sum"),
             part_n=("l_quantity", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False,
-                                    schema=_PRICING_PARTIAL_SCHEMA)
+        return _pd_table(g, _PRICING_PARTIAL_SCHEMA)
 
     from ray.data.aggregate import Sum
     ds = ds.map_batches(partial, batch_format="pyarrow")
@@ -814,8 +822,7 @@ def events_sliding(sf_dir: str, window_hours: int = 3):
         all_w = pd.concat(frames, ignore_index=True)
         g = all_w.groupby("window_start", as_index=False).agg(
             part_n=("value", "size"), part_sum=("value", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False,
-                                    schema=_SLIDING_PARTIAL_SCHEMA)
+        return _pd_table(g, _SLIDING_PARTIAL_SCHEMA)
 
     from ray.data.aggregate import Sum
     ds = ds.map_batches(explode_partial, batch_format="pyarrow")
@@ -1030,8 +1037,7 @@ def events_range_pairs(sf_dir: str, window_sec: int = 60):
                           "user_id": df["user_id"], "ts_us": epoch_us}),
         ], ignore_index=True)
         out["part"] = (out["bucket"] % n_parts).astype("int32")
-        return pa.Table.from_pandas(out, preserve_index=False,
-                                    schema=_RANGE_BAND_SCHEMA)
+        return _pd_table(out, _RANGE_BAND_SCHEMA)
 
     def pairs(group: pa.Table) -> pa.Table:
         """Fully vectorized window-pair expansion: sort by (bucket, user,
@@ -1108,8 +1114,7 @@ def events_asof_orders(sf_dir: str):
         # per-customer-per-date dedup (combiner): the as-of target is the
         # date, so one row per (custkey, date) is enough
         df = batch.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False,
-                                    schema=batch.schema)
+        return _pd_table(df, batch.schema)
 
     orders = orders.map_batches(dedup_dates, batch_format="pyarrow")
     joined = asof_join(events, orders, left_by="user_id",
@@ -1185,8 +1190,7 @@ def revenue_by_nation(sf_dir: str):
             g = df.groupby("nation", as_index=False).agg(
                 part_n=("o_totalprice", "size"),
                 part_rev=("o_totalprice", "sum"))
-            return pa.Table.from_pandas(g, preserve_index=False,
-                                        schema=_REVENUE_PARTIAL_SCHEMA)
+            return _pd_table(g, _REVENUE_PARTIAL_SCHEMA)
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     ds = ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=(1, 4))
@@ -1199,4 +1203,352 @@ def revenue_by_nation(sf_dir: str):
             "nation": batch.column("nation"),
             "n_orders": batch.column("sum(part_n)").cast(pa.int64()),
             "revenue": pc.round(batch.column("sum(part_rev)"), 2)})
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+# ------------------------------------------------- round-3 training-data ops
+
+_NORM_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("norm_text", pa.string()),
+    ("norm_hash", pa.string()), ("n_chars_norm", pa.int64())])
+
+
+def text_normalize(sf_dir: str):
+    """Canonical text normalization for training corpora: lowercase,
+    collapse whitespace runs, strip, content hash.  Pure streaming
+    map_batches with vectorized pandas-str kernels (md5 is per-row by
+    nature, same shape as dedup_exact)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas()
+        t = s.str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+        h = [hashlib.md5(x.encode()).hexdigest() for x in t]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "norm_text": pa.array(t, pa.string()),
+            "norm_hash": pa.array(h, pa.string()),
+            "n_chars_norm": pa.array(t.str.len().to_numpy().astype("int64")),
+        }, schema=_NORM_SCHEMA)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+_QUANT_PARTIAL_SCHEMA = pa.schema([
+    ("lang", pa.string()), ("n_chars", pa.int64()), ("part_n", pa.int64())])
+_QUANT_SCHEMA = pa.schema([
+    ("lang", pa.string()), ("quantile", pa.float64()),
+    ("n_chars", pa.int64())])
+
+
+def quantile_stats(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
+    """EXACT distributed quantiles of a discrete column without a global
+    sort: per-batch value-count partials -> groupby(value).sum (output is
+    O(distinct values), not O(rows)) -> per-lang cumulative pick at rank
+    ceil(q*n) (DuckDB quantile_disc semantics).  The full-sort alternative
+    shuffles every row; this shuffles one row per distinct (lang, value)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (batch.to_pandas().groupby(["lang", "n_chars"])
+              .size().reset_index(name="part_n"))
+        return _pd_table(df, _QUANT_PARTIAL_SCHEMA)
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    ds = ds.groupby(["lang", "n_chars"]).aggregate(Sum("part_n"))
+
+    def pick(group: pa.Table) -> pa.Table:
+        import math
+        df = group.to_pandas().sort_values("n_chars")
+        cum = df["sum(part_n)"].to_numpy().cumsum()
+        n = int(cum[-1])
+        vals = df["n_chars"].to_numpy()
+        rows = {"lang": [], "quantile": [], "n_chars": []}
+        for q in qs:
+            idx = int(np.searchsorted(cum, math.ceil(q * n)))
+            rows["lang"].append(df["lang"].iloc[0])
+            rows["quantile"].append(float(q))
+            rows["n_chars"].append(int(vals[idx]))
+        return pa.table(rows, schema=_QUANT_SCHEMA)
+
+    return ds.groupby("lang").map_groups(pick, batch_format="pyarrow")
+
+
+def _cents(v: np.ndarray) -> np.ndarray:
+    """Sign-aware half-away-from-zero rounding to integer cents; the one
+    rounding rule both numpy and SQL can state explicitly (numpy round is
+    half-even, DuckDB round is half-away — so neither is used)."""
+    return (np.floor(np.abs(v * 100.0) + 0.5) * np.sign(v)).astype(np.int64)
+
+
+_NOORD_PARTIAL_SCHEMA = pa.schema([
+    ("c_mktsegment", pa.string()), ("part_n", pa.int64()),
+    ("part_cents", pa.int64())])
+
+
+def customers_no_orders(sf_dir: str, n_parts: int = 16):
+    """TPC-H Q22 flavor: customers with no URGENT order, aggregated per
+    market segment.  Hash-partitioned ANTI join (existence is exact
+    because partitioning co-locates every occurrence of a key); the
+    right side is filtered AND shrunk to per-batch distinct keys before
+    the shuffle, and the per-segment aggregation is folded into the join
+    partition so the second shuffle is O(segments)."""
+    from .joins import hash_join
+    cust = _read_sized(sf_dir, "customer",
+                       columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    orders = _read_sized(sf_dir, "orders",
+                         columns=["o_custkey", "o_orderpriority"])
+
+    _KEYS_SCHEMA = pa.schema([("o_custkey", pa.int64())])
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keys = batch.filter(
+            pc.equal(batch.column("o_orderpriority"), "1-URGENT"))
+        u = np.unique(np.asarray(keys.column("o_custkey")))
+        return pa.table({"o_custkey": u}, schema=_KEYS_SCHEMA)
+
+    orders = orders.map_batches(distinct_keys, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(cents=_cents(df["c_acctbal"].to_numpy()))
+        g = df.groupby("c_mktsegment").agg(
+            part_n=("c_custkey", "size"),
+            part_cents=("cents", "sum")).reset_index()
+        return g
+
+    ds = hash_join(cust, orders, "c_custkey", "o_custkey", how="anti",
+                   n_parts=n_parts, merge_post=fold,
+                   post_schema=_NOORD_PARTIAL_SCHEMA)
+    from ray.data.aggregate import Sum
+    ds = ds.groupby("c_mktsegment").aggregate(Sum("part_n"),
+                                              Sum("part_cents"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": batch.column("c_mktsegment"),
+            "n_customers": batch.column("sum(part_n)").cast(pa.int64()),
+            "total_acctbal_cents":
+                batch.column("sum(part_cents)").cast(pa.int64())})
+
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+_RUNNING_SCHEMA = pa.schema([
+    ("o_custkey", pa.int64()), ("o_orderkey", pa.int64()),
+    ("o_orderdate", pa.timestamp("us")), ("running_cents", pa.int64())])
+
+
+def running_revenue(sf_dir: str, n_parts: int = 16):
+    """Windowed cumulative sum (SUM OVER PARTITION BY ... ORDER BY ...):
+    per-customer running order revenue in integer cents.  Coarse hash
+    partitions on the window key (all rows of a customer land in one
+    partition), vectorized sort + pandas groupby-cumsum inside — never a
+    per-key map_groups (tiny-group scheduling dominates) and never a
+    global sort (the window only needs per-key order)."""
+    ds = _read_sized(sf_dir, "orders",
+                     columns=["o_custkey", "o_orderkey", "o_orderdate",
+                              "o_totalprice"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column("o_custkey"))
+        h = pd.util.hash_array(keys, hash_key="0123456789123456")
+        return batch.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32)))
+
+    def scan(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        cents = pd.Series(_cents(df["o_totalprice"].to_numpy()),
+                          index=df.index)
+        df["running_cents"] = cents.groupby(df["o_custkey"]).cumsum()
+        df = df[["o_custkey", "o_orderkey", "o_orderdate", "running_cents"]]
+        return _pd_table(df, _RUNNING_SCHEMA)
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part", num_partitions=n_parts)
+            .map_groups(scan, batch_format="pyarrow"))
+
+
+_BIGRAM_PARTIAL_SCHEMA = pa.schema([
+    ("bigram", pa.string()), ("part_n", pa.int64())])
+
+
+def ngram_topk(sf_dir: str, k: int = 20):
+    """Corpus-wide top-k word bigrams — the classic corpus-statistics /
+    contamination-screen primitive.  Per-batch bigram counting is fully
+    vectorized (one concatenated token array per batch, boundary mask,
+    pandas value_counts) and the shuffle carries one row per distinct
+    bigram per batch, never one per token."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("text").to_pandas()
+        lists = s.str.split(" ")
+        lens = lists.str.len().to_numpy()
+        if len(lens) == 0 or lens.sum() < 2:
+            return pa.table({"bigram": [], "part_n": []},
+                            schema=_BIGRAM_PARTIAL_SCHEMA)
+        flat = lists.explode().to_numpy()   # C-level flatten; split(' ')
+        # never yields an empty list, so explode introduces no NaNs
+        ends = np.cumsum(lens)
+        starts_bigram = np.ones(len(flat), dtype=bool)
+        starts_bigram[ends - 1] = False       # last token of each doc
+        idx = np.nonzero(starts_bigram)[0]
+        bg = pd.Series(flat[idx]).str.cat(pd.Series(flat[idx + 1]), sep=" ")
+        vc = bg.value_counts()
+        return pa.table({"bigram": vc.index.to_numpy(dtype=object),
+                         "part_n": vc.to_numpy().astype("int64")},
+                        schema=_BIGRAM_PARTIAL_SCHEMA)
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    ds = ds.groupby("bigram").aggregate(Sum("part_n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"bigram": batch.column("bigram"),
+                         "n": batch.column("sum(part_n)").cast(pa.int64())})
+
+    ds = ds.map_batches(rename, batch_format="pyarrow")
+    return ds.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def stratified_sample(sf_dir: str, target_per_lang: int = 50):
+    """Stratified deterministic sampling: ~target docs per language.
+    Phase 1 computes per-lang counts (a tiny aggregate, broadcast as a
+    plain dict); phase 2 is a streaming hash filter with a per-lang rate
+    — the same md5-bucket rule as sample_documents so any engine
+    reproduces the exact row set."""
+    import math
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    counts = {r["lang"]: r["count()"]
+              for r in ds.groupby("lang").count().take_all()}
+    rate = {lang: min(10000, math.ceil(10000.0 * target_per_lang / n))
+            for lang, n in counts.items()}
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        keep = [int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+                % 10000 < rate[lg] for d, lg in zip(ids, langs)]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+_LABEL_SCHEMA = pa.schema([("doc_id", pa.int64()), ("component", pa.int64())])
+
+
+def _edge_part(batch: pa.Table, n_parts: int) -> pa.Table:
+    h = pd.util.hash_array(np.asarray(batch.column("u")),
+                           hash_key="0123456789123456")
+    return batch.append_column(
+        "part", pa.array((h % np.uint64(n_parts)).astype(np.int32)))
+
+
+def _hash_to_min_round(group: pa.Table) -> pa.Table:
+    """One Hash-to-Min round over a coarse partition (Rastogi et al.,
+    'Finding Connected Components in Map-Reduce in Logarithmic Rounds'):
+    for each node u with neighborhood N, m = min(N + {u}); emit (m, x)
+    and (x, m) for all x.  Vectorized over the whole partition; dedup
+    inside the partition IS global dedup because part = hash(u)."""
+    df = group.to_pandas()[["u", "v"]]
+    uniq = df["u"].unique()
+    df = pd.concat([df, pd.DataFrame({"u": uniq, "v": uniq})],
+                   ignore_index=True)
+    m = df.groupby("u")["v"].transform("min").to_numpy()
+    v = df["v"].to_numpy()
+    a = np.concatenate([m, v])
+    b = np.concatenate([v, m])
+    keep = a != b
+    out = pd.DataFrame({"u": a[keep], "v": b[keep]}).drop_duplicates()
+    return _pd_table(out, _EDGE_SCHEMA)
+
+
+def _edge_checksum(edges) -> tuple[int, int]:
+    """Order-independent fingerprint of a distinct edge set: wraparound
+    sum of per-edge hash64 + edge count.  One scalar per round — the
+    distributed convergence test (never materializes edges driver-side)."""
+    _CK_SCHEMA = pa.schema([("h", pa.uint64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("u"))
+        v = np.asarray(batch.column("v"))
+        hu = pd.util.hash_array(u, hash_key="0123456789123456")
+        hv = pd.util.hash_array(v, hash_key="6543210987654321")
+        with np.errstate(over="ignore"):
+            s = np.uint64(0) if len(u) == 0 else \
+                (hu * np.uint64(3) + hv).sum(dtype=np.uint64)
+        return pa.table({"h": [int(s)], "n": [batch.num_rows]},
+                        schema=_CK_SCHEMA)
+
+    t = edges.map_batches(partial, batch_format="pyarrow")
+    agg = t.to_pandas()
+    total = np.uint64(0)
+    with np.errstate(over="ignore"):
+        for x in agg["h"].to_numpy(dtype=np.uint64):
+            total = total + x
+    return int(total), int(agg["n"].sum())
+
+
+def neardup_components(sf_dir: str, n_parts: int = 8, max_iters: int = 12):
+    """Connected components over the near-duplicate graph (ngram-jaccard
+    pairs >= 0.4): the cluster-dedup operator — every document labeled
+    with the min doc_id of its near-dup cluster.  Iterative Hash-to-Min
+    label propagation (O(log d) rounds); each round is one shuffle of the
+    current edge set, convergence is tested with a distributed checksum
+    (one scalar to the driver per round).  Edges materialize between
+    rounds — inherent to iterative algorithms, size is O(near-dup pairs),
+    a vanishing fraction of corpus size for web data."""
+    edges = dedup_ngram_jaccard(sf_dir).select_columns(["doc_a", "doc_b"])
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("doc_a"))
+        b = np.asarray(batch.column("doc_b"))
+        return pa.table({"u": np.concatenate([a, b]),
+                         "v": np.concatenate([b, a])}, schema=_EDGE_SCHEMA)
+
+    edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    prev = None
+    import functools
+    part_fn = functools.partial(_edge_part, n_parts=n_parts)
+    for _ in range(max_iters):
+        edges = (edges.map_batches(part_fn, batch_format="pyarrow")
+                 .groupby("part", num_partitions=n_parts)
+                 .map_groups(_hash_to_min_round, batch_format="pyarrow")
+                 .materialize())
+        ck = _edge_checksum(edges)
+        if ck == prev:
+            break
+        prev = ck
+
+    def labels(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()[["u", "v"]]
+        lab = df.groupby("u")["v"].min()
+        comp = np.minimum(lab.index.to_numpy(), lab.to_numpy())
+        return pa.table({"doc_id": lab.index.to_numpy(), "component": comp},
+                        schema=_LABEL_SCHEMA)
+
+    lab = (edges.map_batches(part_fn, batch_format="pyarrow")
+           .groupby("part", num_partitions=n_parts)
+           .map_groups(labels, batch_format="pyarrow"))
+
+    # singleton docs: component = self
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def selfl(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"))
+        return pa.table({"doc_id": d, "component": d}, schema=_LABEL_SCHEMA)
+
+    from ray.data.aggregate import Min
+    ds = (docs.map_batches(selfl, batch_format="pyarrow").union(lab)
+          .groupby("doc_id").aggregate(Min("component")))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "component": batch.column("min(component)").cast(pa.int64())})
+
     return ds.map_batches(rename, batch_format="pyarrow")
