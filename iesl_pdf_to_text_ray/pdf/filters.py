@@ -3,8 +3,8 @@
 Image-only codecs (DCT/JPX/JBIG2/CCITTFax) are passed through undecoded
 here — the extraction contract only needs media identity (media_ref).
 Pixel materialization (pdf/images.py) decodes CCITT via pdf/ccitt.py and
-passes JPEG through; JPX/JBIG2 stay identified-only (no codecs in this
-environment).
+JBIG2 via pdf/jbig2.py, and passes JPEG through; JPX stays
+identified-only (no JPEG2000 codec in this environment).
 
 Behavioral reference: pdf.js stream filters (/root/reference/src/main/js/
 pdf.combined.js:21518-24001); implemented from the public filter specs.

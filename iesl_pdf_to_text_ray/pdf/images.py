@@ -9,10 +9,12 @@ DeviceGray/DeviceRGB/Indexed/ICC colorspaces at 1/2/4/8 bits per
 component are decoded to pixels and PNG-encoded (pure zlib, no image
 libraries); CCITTFaxDecode G3/G4 decodes via the pure-Python T.4/T.6
 decoder (pdf/ccitt.py, cross-validated against the reference's
-CCITTFaxStream); DCTDecode passes through as JPEG bytes; JPX/JBIG2 are
-identified but not decoded (no codecs in this environment — returned with
-``mime=None`` and the raw payload so a downstream stage with codecs can
-finish the job).
+CCITTFaxStream); JBIG2Decode decodes via the pure-Python T.88 decoder
+(pdf/jbig2.py, round-trip validated, reference Jbig2Stream
+pdf.combined.js:22530); DCTDecode passes through as JPEG bytes; JPX is
+identified but not decoded (no JPEG2000 codec in this environment —
+returned with ``mime=None`` and the raw payload so a downstream stage
+with codecs can finish the job).
 """
 
 from __future__ import annotations
@@ -50,8 +52,9 @@ def png_encode(width: int, height: int, pixels: bytes,
 
 
 _PASSTHROUGH_JPEG = ("DCTDecode", "DCT")
-_UNSUPPORTED = ("JPXDecode", "JBIG2Decode")
+_UNSUPPORTED = ("JPXDecode",)
 _CCITT = ("CCITTFaxDecode", "CCF")
+_JBIG2 = ("JBIG2Decode",)
 
 
 def _filters_of(d: dict, fetch) -> list[str]:
@@ -150,6 +153,37 @@ def _ccitt_pixels(d: dict, fl: list[str], payload: bytes, w: int, h: int,
     return packed[:h * stride]
 
 
+def _jbig2_pixels(d: dict, payload: bytes, w: int, h: int,
+                  xref) -> bytes | None:
+    """Run the pure-Python JBIG2 decoder (pdf/jbig2.py; reference
+    Jbig2Stream pdf.combined.js:22530) with the filter's JBIG2Globals;
+    returns packed 1-bit rows in the 1-bpc gray convention (0 = black)
+    or None if the stream does not cover the full image."""
+    from .jbig2 import jbig2_decode
+    fetch = xref.fetch_if_ref
+    parms = fetch(d.get("DecodeParms") or d.get("DP"))
+    if isinstance(parms, list):
+        parms = next((fetch(p) for p in parms
+                      if isinstance(fetch(p), dict)
+                      and "JBIG2Globals" in fetch(p)), None)
+    parms = parms if isinstance(parms, dict) else {}
+    globals_data = None
+    g = fetch(parms.get("JBIG2Globals"))
+    if isinstance(g, Stream):
+        try:
+            globals_data = decode_stream(g, xref)
+        except Exception:
+            globals_data = g.raw
+    try:
+        packed, pw, ph = jbig2_decode(payload, globals_data)
+    except Exception:
+        return None
+    if ph < h or (pw + 7) // 8 != (w + 7) // 8:
+        return None   # page/image geometry mismatch: keep raw payload
+    stride = (pw + 7) // 8
+    return packed[:h * stride]
+
+
 def materialize_image(source, xref) -> dict:
     """One media source (from PageInterpreter.media_sink) -> bytes.
 
@@ -186,6 +220,14 @@ def materialize_image(source, xref) -> dict:
         # filters and stopped at the fax payload.  Output bits follow the
         # 1-bpc gray convention directly (0 = black unless BlackIs1).
         data = _ccitt_pixels(d, fl, data, w, h, fetch)
+        if data is None:
+            out["data"] = stm.raw
+            return out
+    if any(f in _JBIG2 for f in fl):
+        # JBIG2 decode (pdf/jbig2.py; reference Jbig2Stream
+        # pdf.combined.js:22530): packed rows arrive already inverted to
+        # the 1-bpc gray convention (JBIG2 black=1 -> gray 0)
+        data = _jbig2_pixels(d, data, w, h, xref)
         if data is None:
             out["data"] = stm.raw
             return out
