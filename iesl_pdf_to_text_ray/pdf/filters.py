@@ -2,9 +2,9 @@
 
 Image-only codecs (DCT/JPX/JBIG2/CCITTFax) are passed through undecoded
 here — the extraction contract only needs media identity (media_ref).
-Pixel materialization (pdf/images.py) decodes CCITT via pdf/ccitt.py and
-JBIG2 via pdf/jbig2.py, and passes JPEG through; JPX stays
-identified-only (no JPEG2000 codec in this environment).
+Pixel materialization (pdf/images.py) decodes CCITT via pdf/ccitt.py,
+JBIG2 via pdf/jbig2.py and JPEG 2000 via pdf/jpx.py, and passes JPEG
+through.
 
 Behavioral reference: pdf.js stream filters (/root/reference/src/main/js/
 pdf.combined.js:21518-24001); implemented from the public filter specs.

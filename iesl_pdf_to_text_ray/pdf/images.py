@@ -10,11 +10,11 @@ component are decoded to pixels and PNG-encoded (pure zlib, no image
 libraries); CCITTFaxDecode G3/G4 decodes via the pure-Python T.4/T.6
 decoder (pdf/ccitt.py, cross-validated against the reference's
 CCITTFaxStream); JBIG2Decode decodes via the pure-Python T.88 decoder
-(pdf/jbig2.py, round-trip validated, reference Jbig2Stream
-pdf.combined.js:22530); DCTDecode passes through as JPEG bytes; JPX is
-identified but not decoded (no JPEG2000 codec in this environment —
-returned with ``mime=None`` and the raw payload so a downstream stage
-with codecs can finish the job).
+(pdf/jbig2.py); JPXDecode decodes via the pure-Python T.800 decoder
+(pdf/jpx.py) — both cross-validated byte-exact against the reference
+decoders; DCTDecode passes through as JPEG bytes.  Gray and RGB JPX
+images re-encode as PNG; component counts the PNG writer cannot express
+(e.g. CMYK) keep the raw payload with ``mime=None``.
 """
 
 from __future__ import annotations
@@ -52,9 +52,9 @@ def png_encode(width: int, height: int, pixels: bytes,
 
 
 _PASSTHROUGH_JPEG = ("DCTDecode", "DCT")
-_UNSUPPORTED = ("JPXDecode",)
 _CCITT = ("CCITTFaxDecode", "CCF")
 _JBIG2 = ("JBIG2Decode",)
+_JPX = ("JPXDecode",)
 
 
 def _filters_of(d: dict, fetch) -> list[str]:
@@ -207,12 +207,28 @@ def materialize_image(source, xref) -> dict:
         out["mime"] = "image/jpeg"
         out["data"] = stm.raw
         return out
-    if any(f in _UNSUPPORTED for f in fl):
-        out["data"] = stm.raw
-        return out
     try:
         data = decode_stream(stm, xref)
     except Exception:
+        return out
+    if any(f in _JPX for f in fl):
+        # JPEG 2000 decode (pdf/jpx.py; reference JpxStream
+        # pdf.combined.js:22461): interleaved 8-bit samples
+        try:
+            from .jpx import jpx_decode
+            px, pw, ph, nc = jpx_decode(data)
+        except Exception:
+            out["data"] = stm.raw
+            return out
+        if (pw, ph) != (w, h) or nc not in (1, 3) or \
+                len(px) < w * h * nc:
+            # geometry mismatch or a component count the PNG writer
+            # cannot express (e.g. CMYK): keep the raw payload
+            out["data"] = stm.raw
+            return out
+        out["mime"] = "image/png"
+        out["data"] = png_encode(w, h, px[:w * h * nc],
+                                 0 if nc == 1 else 2)
         return out
     if any(f in _CCITT for f in fl):
         # CCITT G3/G4 fax decode (pdf/ccitt.py; reference CCITTFaxStream
