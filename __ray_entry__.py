@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_topk": table_ops.ngram_topk,
         "stratified_sample": table_ops.stratified_sample,
         "neardup_components": table_ops.neardup_components,
+        "orders_top_per_priority": table_ops.orders_top_per_priority,
+        "events_user_gaps": table_ops.events_user_gaps,
     }
 
 
@@ -781,5 +783,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT s.u, r.comp FROM reach r JOIN sym s ON s.v = r.node)
             SELECT node AS doc_id, min(comp) AS component
             FROM reach GROUP BY node
+        """,
+        "orders_top_per_priority": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders) WHERE rn = 1
+        """,
+        "events_user_gaps": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts) AS gap_us
+              FROM events)
+            SELECT user_id,
+                   count(*) AS n_gaps,
+                   CAST(sum(gap_us // 1000000) AS BIGINT) AS total_gap_sec
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY user_id
         """,
     }

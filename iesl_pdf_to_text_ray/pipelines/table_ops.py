@@ -1552,3 +1552,76 @@ def neardup_components(sf_dir: str, n_parts: int = 8, max_iters: int = 12):
             "component": batch.column("min(component)").cast(pa.int64())})
 
     return ds.map_batches(rename, batch_format="pyarrow")
+
+
+_ARGMAX_PARTIAL_SCHEMA = pa.schema([
+    ("o_orderpriority", pa.string()), ("o_orderkey", pa.int64()),
+    ("o_totalprice", pa.float64())])
+
+
+def orders_top_per_priority(sf_dir: str):
+    """Distributed argmax-per-group: the single highest-value order in
+    each priority class (ties broken by lowest orderkey).  Per-batch
+    partial argmax shrinks the shuffle to one row per (batch, group);
+    the final reduce sees O(batches x groups) rows, never the table."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True], kind="mergesort")
+        out = df.groupby("o_orderpriority", sort=False).head(1)
+        return _pd_table(out[["o_orderpriority", "o_orderkey",
+                              "o_totalprice"]], _ARGMAX_PARTIAL_SCHEMA)
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True],
+            kind="mergesort").head(1)
+        return _pd_table(df[["o_orderpriority", "o_orderkey",
+                             "o_totalprice"]], _ARGMAX_PARTIAL_SCHEMA)
+
+    return ds.groupby("o_orderpriority").map_groups(final,
+                                                    batch_format="pyarrow")
+
+
+_GAPS_SCHEMA = pa.schema([
+    ("user_id", pa.int64()), ("n_gaps", pa.int64()),
+    ("total_gap_sec", pa.int64())])
+
+
+def events_user_gaps(sf_dir: str, n_parts: int = 16):
+    """LAG-window aggregation: per user, the number of inter-event gaps
+    and their total length in whole seconds.  Same coarse-partition
+    window pattern as running_revenue (hash partition on the window key,
+    vectorized sort + diff inside) — integer seconds so the result is
+    exact across engines."""
+    ds = _read_sized(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column("user_id"))
+        h = pd.util.hash_array(keys, hash_key="0123456789123456")
+        return batch.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32)))
+
+    def gaps(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["user_id", "ts"],
+                                           kind="mergesort")
+        us = df["ts"].astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy()
+        same_user = uid[1:] == uid[:-1]
+        gap_us = (us[1:] - us[:-1])[same_user]
+        gap_user = uid[1:][same_user]
+        g = pd.DataFrame({"user_id": gap_user,
+                          "gap_sec": gap_us // 1_000_000})
+        out = g.groupby("user_id").agg(
+            n_gaps=("gap_sec", "size"),
+            total_gap_sec=("gap_sec", "sum")).reset_index()
+        return _pd_table(out, _GAPS_SCHEMA)
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part", num_partitions=n_parts)
+            .map_groups(gaps, batch_format="pyarrow"))

@@ -195,3 +195,32 @@ def test_text_normalize_collapses_messy_whitespace(ray_session, tmp_path):
     assert out.loc[1, "norm_text"] == "hello world x"
     assert out.loc[2, "norm_text"] == "a b"
     assert out.loc[2, "n_chars_norm"] == 3
+
+
+def test_orders_top_per_priority_matches_duckdb(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops import (
+        orders_top_per_priority)
+    import __ray_entry__ as E
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    gold = (con.execute(E.oracle_sql()["orders_top_per_priority"]).fetchdf()
+            .sort_values("o_orderpriority").reset_index(drop=True))
+    mine = (_pd(orders_top_per_priority(SF))
+            .sort_values("o_orderpriority").reset_index(drop=True))
+    pd.testing.assert_frame_equal(mine, gold)
+
+
+def test_events_user_gaps_matches_duckdb(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops import events_user_gaps
+    import __ray_entry__ as E
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    gold = (con.execute(E.oracle_sql()["events_user_gaps"]).fetchdf()
+            .sort_values("user_id").reset_index(drop=True))
+    mine = (_pd(events_user_gaps(SF)).sort_values("user_id")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        mine.astype({"n_gaps": "int64", "total_gap_sec": "int64"}),
+        gold.astype({"n_gaps": "int64", "total_gap_sec": "int64"}))
