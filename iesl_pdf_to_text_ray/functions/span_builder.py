@@ -212,6 +212,8 @@ class SpanBuilder:
         if tspan is None:
             tspan = cur.tspan = Element("tspan")
         chunks = tspan.text_chunks
+        chunks_append = chunks.append
+        xcoords_append = tspan.x_coords.append
 
         x = 0.0
         emitted_glyph = False
@@ -223,8 +225,8 @@ class SpanBuilder:
                 # TJ kerning number (units: 1/1000 em)
                 gap = -it * font_size * 0.001
                 if gap + neg_cs >= threshold:
-                    chunks.append(" ")
-                    tspan.x_coords.append(-1.0)   # inserted-space sentinel
+                    chunks_append(" ")
+                    xcoords_append(-1.0)   # inserted-space sentinel
                 x += gap
                 continue
             uni, width = it
@@ -238,8 +240,8 @@ class SpanBuilder:
                 if not chunks and self.last_end_x:
                     start_x = cur.x + x * hscale
                     if start_x - self.last_end_x >= threshold:
-                        chunks.append(" ")
-                        tspan.x_coords.append(-1.0)
+                        chunks_append(" ")
+                        xcoords_append(-1.0)
                 if tspan.y is None:
                     tspan.y = cur.y
                     tspan.font_size = font_size
@@ -247,8 +249,8 @@ class SpanBuilder:
                     # page-space frame for layout consumers: ctm o Tm
                     # (glyph page position = mat applied to (x_i, y))
                     tspan.mat = _mul6(cur.ctm, cur.tm)
-                chunks.append(uni)
-                tspan.x_coords.append(cur.x + x * hscale)
+                chunks_append(uni)
+                xcoords_append(cur.x + x * hscale)
                 emitted_glyph = True
             x += width * wa_scale + char_spacing * font_dir
 

@@ -79,29 +79,12 @@ class ContentScanner:
             for m in _TOKEN_RE.finditer(data, pos, end):
                 pos = m.end()
                 g = m.lastindex  # 1=num 2=litstr 3=name 4=op 5=hex 6=delim
+                # branch order: numbers >> operators >> names >> strings
                 if g == 1:
-                    cur.append(float(m.group(1)))
-                    continue
-                if g == 2:
-                    cur.append(m.group(2))
-                    continue
-                if g == 5:
-                    h = m.group(5)
-                    if b" " in h or b"\n" in h or b"\r" in h or b"\t" in h:
-                        h = bytes(c for c in h
-                                  if c not in (0, 9, 10, 12, 13, 32))
-                    if len(h) % 2:
-                        h += b"0"
-                    try:
-                        cur.append(bytes.fromhex(h.decode("ascii")))
-                    except ValueError:
-                        cur.append(b"")
-                    continue
-                if g == 3:
-                    cur.append(Name(_decode_name(m.group(3))))
+                    cur.append(float(m[1]))
                     continue
                 if g == 4:
-                    op = m.group(4).decode("latin1")
+                    op = m[4].decode("latin1")
                     if op in ("true", "false", "null"):
                         cur.append(True if op == "true"
                                    else (False if op == "false" else None))
@@ -116,6 +99,24 @@ class ContentScanner:
                         pos = self.pos
                         running = True
                         break
+                    continue
+                if g == 3:
+                    cur.append(Name(_decode_name(m[3])))
+                    continue
+                if g == 2:
+                    cur.append(m[2])
+                    continue
+                if g == 5:
+                    h = m.group(5)
+                    if b" " in h or b"\n" in h or b"\r" in h or b"\t" in h:
+                        h = bytes(c for c in h
+                                  if c not in (0, 9, 10, 12, 13, 32))
+                    if len(h) % 2:
+                        h += b"0"
+                    try:
+                        cur.append(bytes.fromhex(h.decode("ascii")))
+                    except ValueError:
+                        cur.append(b"")
                     continue
                 d = m.group(6)
                 if d == b"(":
