@@ -953,17 +953,30 @@ def encode_iaid(ectx: EncodingContext, code_length: int, value: int):
 
 
 def encode_bitmap(bitmap, template_index: int, at,
-                  ectx: EncodingContext, procedure: str = "GB"):
+                  ectx: EncodingContext, procedure: str = "GB",
+                  prediction: bool = False):
     """Generic-region encode: same template/context formation as
     decode_bitmap (so the pair round-trips through any T.88 decoder that
-    uses the reference's sorted-template labeling)."""
+    uses the reference's sorted-template labeling).  With ``prediction``
+    (TPGDON) identical consecutive rows are coded as LTP duplicates via
+    the pseudo-pixel context."""
     height = len(bitmap)
     width = len(bitmap[0]) if height else 0
     template = _sorted_template(template_index, at)
     tlen = len(template)
     contexts = ectx.cache.contexts(procedure)
     enc = ectx.encoder
+    pseudo = _REUSED_CONTEXTS[template_index]
+    ltp = 0
     for i in range(height):
+        if prediction:
+            same = (bitmap[i] == bitmap[i - 1] if i > 0
+                    else not any(bitmap[i]))
+            want = 1 if same else 0
+            enc.encode_bit(contexts, pseudo, ltp ^ want)
+            ltp = want
+            if ltp:
+                continue
         for j in range(width):
             label = 0
             shift = tlen - 1
@@ -995,14 +1008,15 @@ def _segment_header(number: int, seg_type: int, referred: list[int],
     return bytes(out)
 
 
-def build_generic_region_stream(bitmap, template_index: int = 0) -> bytes:
+def build_generic_region_stream(bitmap, template_index: int = 0,
+                                prediction: bool = False) -> bytes:
     """Embedded-style JBIG2 chunk: PageInformation + one
     ImmediateGenericRegion holding ``bitmap`` (rows of 0/1)."""
     height = len(bitmap)
     width = len(bitmap[0]) if height else 0
     at = _NOMINAL_AT[:4 if template_index == 0 else 1]
     ectx = EncodingContext()
-    encode_bitmap(bitmap, template_index, at, ectx)
+    encode_bitmap(bitmap, template_index, at, ectx, prediction=prediction)
     payload = ectx.encoder.flush()
 
     page = bytearray()
@@ -1015,7 +1029,8 @@ def build_generic_region_stream(bitmap, template_index: int = 0) -> bytes:
     region += width.to_bytes(4, "big") + height.to_bytes(4, "big")
     region += (0).to_bytes(4, "big") + (0).to_bytes(4, "big")  # x, y
     region.append(0)             # external combination operator: OR
-    region.append(template_index << 1)   # flags: MMR=0, TPGDON=0
+    region.append((template_index << 1) |
+                  (8 if prediction else 0))   # flags: MMR=0, TPGDON bit 3
     for (ax, ay) in at:
         region.append(ax & 0xFF)
         region.append(ay & 0xFF)
@@ -1122,3 +1137,175 @@ def build_symbol_text_stream(symbols, placements, width: int,
     if split_globals:
         return dict_bytes, page_bytes + text_bytes
     return page_bytes + dict_bytes + text_bytes
+
+
+def encode_refinement_bitmap(bitmap, reference, dx: int, dy: int, r_at,
+                             ectx: EncodingContext,
+                             template_index: int = 0):
+    """Refinement encode mirroring decode_refinement's context
+    formation (GR contexts, template 0 + the two AT pixels)."""
+    coding = list(_REFINEMENT_TEMPLATES[template_index]["coding"])
+    ref_t = list(_REFINEMENT_TEMPLATES[template_index]["reference"])
+    if template_index == 0:
+        coding = coding + [tuple(r_at[0])]
+        ref_t = ref_t + [tuple(r_at[1])]
+    height = len(bitmap)
+    width = len(bitmap[0]) if height else 0
+    ref_h = len(reference)
+    ref_w = len(reference[0]) if ref_h else 0
+    contexts = ectx.cache.contexts("GR")
+    enc = ectx.encoder
+    for i in range(height):
+        for j in range(width):
+            label = 0
+            for (tx, ty) in coding:
+                i0 = i + ty
+                j0 = j + tx
+                if i0 < 0 or j0 < 0 or j0 >= width:
+                    label <<= 1
+                else:
+                    # the decoder's own bitmap holds zeros at cells it
+                    # has not written yet (current row right of j)
+                    v = bitmap[i0][j0] if (i0 < i or
+                                           (i0 == i and j0 < j)) else 0
+                    label = (label << 1) | (1 if v else 0)
+            for (tx, ty) in ref_t:
+                i0 = i + ty + dy
+                j0 = j + tx + dx
+                if i0 < 0 or i0 >= ref_h or j0 < 0 or j0 >= ref_w:
+                    label <<= 1
+                else:
+                    label = (label << 1) | (1 if reference[i0][j0] else 0)
+            enc.encode_bit(contexts, label, 1 if bitmap[i][j] else 0)
+
+
+_NOMINAL_R_AT = ((-1, -1), (-1, -1))
+
+
+def build_refined_symbol_stream(base_symbols, refined, placements,
+                                width: int, height: int) -> bytes:
+    """Embedded-style chunk exercising the refinement paths:
+    PageInformation + dictionary A (direct-coded ``base_symbols``) +
+    dictionary B (refinement-coded: ``refined`` = [(base_index, bitmap,
+    rdx, rdy), ...], same sizes as their bases, sorted by height) +
+    ImmediateTextRegion placing dictionary B's symbols."""
+    at = _NOMINAL_AT
+    # --- dictionary A: direct
+    ectx = EncodingContext()
+    current_height = 0
+    by_height: dict[int, list] = {}
+    for idx, sym in enumerate(base_symbols):
+        by_height.setdefault(len(sym), []).append((idx, sym))
+    a_order = []
+    for h in sorted(by_height):
+        encode_integer(ectx, "IADH", h - current_height)
+        current_height = h
+        current_width = 0
+        for idx, sym in by_height[h]:
+            w = len(sym[0])
+            encode_integer(ectx, "IADW", w - current_width)
+            current_width = w
+            encode_bitmap(sym, 0, at, ectx)
+            a_order.append(idx)
+        encode_integer(ectx, "IADW", None)
+    encode_integer(ectx, "IAEX", 0)
+    encode_integer(ectx, "IAEX", len(base_symbols))
+    dict_a = bytearray()
+    dict_a += (0).to_bytes(2, "big")
+    for (ax, ay) in at:
+        dict_a.append(ax & 0xFF)
+        dict_a.append(ay & 0xFF)
+    dict_a += len(base_symbols).to_bytes(4, "big")
+    dict_a += len(base_symbols).to_bytes(4, "big")
+    dict_a += ectx.encoder.flush()
+    a_remap = {orig: pos for pos, orig in enumerate(a_order)}
+
+    # --- dictionary B: refinement-coded, refers to A
+    n_input = len(base_symbols)
+    code_length = _log2(n_input + len(refined))
+    ectx2 = EncodingContext()
+    current_height = 0
+    by_height2: dict[int, list] = {}
+    for idx, (base_idx, sym, rdx, rdy) in enumerate(refined):
+        by_height2.setdefault(len(sym), []).append((idx, base_idx, sym,
+                                                    rdx, rdy))
+    b_order = []
+    for h in sorted(by_height2):
+        encode_integer(ectx2, "IADH", h - current_height)
+        current_height = h
+        current_width = 0
+        for idx, base_idx, sym, rdx, rdy in by_height2[h]:
+            w = len(sym[0])
+            encode_integer(ectx2, "IADW", w - current_width)
+            current_width = w
+            encode_integer(ectx2, "IAAI", 1)      # single instance
+            encode_iaid(ectx2, code_length, a_remap[base_idx])
+            encode_integer(ectx2, "IARDX", rdx)
+            encode_integer(ectx2, "IARDY", rdy)
+            base = base_symbols[base_idx]
+            encode_refinement_bitmap(sym, base, rdx, rdy, _NOMINAL_R_AT,
+                                     ectx2)
+            b_order.append(idx)
+        encode_integer(ectx2, "IADW", None)
+    # export only the new (refined) symbols
+    encode_integer(ectx2, "IAEX", n_input)
+    encode_integer(ectx2, "IAEX", len(refined))
+    dict_b = bytearray()
+    # flags: refinement (bit 1), template 0, refinement template 0
+    dict_b += (2).to_bytes(2, "big")
+    for (ax, ay) in at:
+        dict_b.append(ax & 0xFF)
+        dict_b.append(ay & 0xFF)
+    for (ax, ay) in _NOMINAL_R_AT:
+        dict_b.append(ax & 0xFF)
+        dict_b.append(ay & 0xFF)
+    dict_b += len(refined).to_bytes(4, "big")
+    dict_b += len(refined).to_bytes(4, "big")
+    dict_b += ectx2.encoder.flush()
+    b_remap = {orig: pos for pos, orig in enumerate(b_order)}
+
+    # --- text region over dictionary B (strip size 1, TOPLEFT)
+    tr_code_length = _log2(len(refined))
+    ectx3 = EncodingContext()
+    placements = sorted(((t, s, sym) for sym, s, t in placements))
+    encode_integer(ectx3, "IADT", 0)
+    strip_t = 0
+    first_s = 0
+    i = 0
+    while i < len(placements):
+        t = placements[i][0]
+        strip = [p for p in placements[i:] if p[0] == t]
+        encode_integer(ectx3, "IADT", t - strip_t)
+        strip_t = t
+        prev_s = None
+        for k, (_, s, sym_idx) in enumerate(strip):
+            if k == 0:
+                encode_integer(ectx3, "IAFS", s - first_s)
+                first_s = s
+            else:
+                prev_w = len(refined[strip[k - 1][2]][1][0])
+                encode_integer(ectx3, "IADS", s - prev_s - (prev_w - 1))
+            encode_iaid(ectx3, tr_code_length, b_remap[sym_idx])
+            prev_s = s
+        encode_integer(ectx3, "IADS", None)
+        i += len(strip)
+    text_seg = bytearray()
+    text_seg += width.to_bytes(4, "big") + height.to_bytes(4, "big")
+    text_seg += (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+    text_seg.append(0)
+    text_seg += (1 << 4).to_bytes(2, "big")
+    text_seg += len(placements).to_bytes(4, "big")
+    text_seg += ectx3.encoder.flush()
+
+    page = bytearray()
+    page += width.to_bytes(4, "big") + height.to_bytes(4, "big")
+    page += (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+    page.append(0)
+    page += (0).to_bytes(2, "big")
+
+    out = bytearray()
+    out += _segment_header(0, 48, [], 1, len(page)) + bytes(page)
+    out += _segment_header(1, 0, [], 1, len(dict_a)) + bytes(dict_a)
+    out += _segment_header(2, 0, [1], 1, len(dict_b)) + bytes(dict_b)
+    out += _segment_header(3, 6, [2], 1, len(text_seg)) + bytes(text_seg)
+    return bytes(out)

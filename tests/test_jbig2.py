@@ -320,3 +320,66 @@ def test_pdf_jbig2_with_globals_materializes_png():
                 if v:
                     page[t + i][s + j] = 0
     assert np.array_equal(pixels, page)
+
+
+def test_tpgdon_roundtrip():
+    rng = random.Random(5)
+    w, h = 40, 24
+    bm = [bytearray(rng.getrandbits(1) for _ in range(w)) for _ in range(h)]
+    bm[6] = bytearray(bm[5])      # consecutive duplicates: real LTP rows
+    bm[7] = bytearray(bm[5])
+    stream = J.build_generic_region_stream(bm, prediction=True)
+    packed, pw, ph = J.jbig2_decode(stream)
+    assert (pw, ph) == (w, h)
+    expect = np.array([list(r) for r in bm], np.uint8)
+    assert np.array_equal(_unpack_page(packed, w, h), expect)
+
+
+def _refinement_fixture():
+    base = [[bytearray([1, 1, 1, 1, 1]), bytearray([1, 0, 0, 0, 1]),
+             bytearray([1, 1, 1, 1, 1])],
+            [bytearray([0, 1, 0]), bytearray([1, 1, 1]),
+             bytearray([0, 1, 0])]]
+    refined = []
+    for bi, b in enumerate(base):
+        r = [bytearray(row) for row in b]
+        r[0][0] ^= 1
+        r[-1][-1] ^= 1
+        refined.append((bi, r, 0, 0))
+    W, H = 30, 12
+    placements = [(0, 2, 2), (1, 12, 2), (0, 20, 6), (1, 5, 7)]
+    return base, refined, placements, W, H
+
+
+def test_refined_symbol_dictionary_roundtrip():
+    base, refined, placements, W, H = _refinement_fixture()
+    stream = J.build_refined_symbol_stream(base, refined, placements, W, H)
+    packed, pw, ph = J.jbig2_decode(stream)
+    assert (pw, ph) == (W, H)
+    page = np.zeros((H, W), np.uint8)
+    for sym, s, t in placements:
+        g = refined[sym][1]
+        for i, row in enumerate(g):
+            for j, v in enumerate(row):
+                if v and t + i < H and s + j < W:
+                    page[t + i][s + j] = 1
+    assert np.array_equal(_unpack_page(packed, W, H), page)
+
+
+def test_tpgdon_vs_reference(ref_jbig2):
+    rng = random.Random(13)
+    w, h = 33, 18
+    bm = [bytearray(rng.getrandbits(1) for _ in range(w)) for _ in range(h)]
+    bm[4] = bytearray(bm[3])
+    stream = J.build_generic_region_stream(bm, prediction=True)
+    mine, _, _ = J.parse_chunks(
+        [{"data": stream, "start": 0, "end": len(stream)}])
+    assert bytes(mine) == ref_jbig2([stream])
+
+
+def test_refined_symbols_vs_reference(ref_jbig2):
+    base, refined, placements, W, H = _refinement_fixture()
+    stream = J.build_refined_symbol_stream(base, refined, placements, W, H)
+    mine, _, _ = J.parse_chunks(
+        [{"data": stream, "start": 0, "end": len(stream)}])
+    assert bytes(mine) == ref_jbig2([stream])
