@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_components": table_ops.neardup_components,
         "orders_top_per_priority": table_ops.orders_top_per_priority,
         "events_user_gaps": table_ops.events_user_gaps,
+        "contamination_check": table_ops.contamination_check,
     }
 
 
@@ -802,5 +803,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(gap_us // 1000000) AS BIGINT) AS total_gap_sec
             FROM g WHERE gap_us IS NOT NULL
             GROUP BY user_id
+        """,
+        "contamination_check": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, list_distinct(list_transform(
+                  generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+              FROM toks),
+            bench AS (
+              SELECT list_distinct(flatten(list(s))) AS gs
+              FROM sh WHERE doc_id % 20 = 0)
+            SELECT doc_id,
+                   len(list_intersect(s, b.gs))::BIGINT AS n_hits
+            FROM sh, bench b
+            WHERE doc_id % 20 != 0 AND len(list_intersect(s, b.gs)) > 0
         """,
     }

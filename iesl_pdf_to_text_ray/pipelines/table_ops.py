@@ -1625,3 +1625,58 @@ def events_user_gaps(sf_dir: str, n_parts: int = 16):
     return (ds.map_batches(add_part, batch_format="pyarrow")
             .groupby("part", num_partitions=n_parts)
             .map_groups(gaps, batch_format="pyarrow"))
+
+
+_BENCH_SHINGLE_SCHEMA = pa.schema([("g", pa.string())])
+_CONTAM_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                            ("n_hits", pa.int64())])
+
+
+def _shingles3(text: str) -> set:
+    toks = text.split()
+    return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+
+def contamination_check(sf_dir: str, bench_mod: int = 20):
+    """Benchmark-decontamination screen: flag corpus documents sharing
+    any 3-gram shingle with the held-out "benchmark" subset (doc_id %
+    bench_mod == 0 stands in for an eval set).  Phase 1 builds the
+    benchmark shingle set with per-batch set partials + a distributed
+    dedup groupby; the deduped set — small by nature, eval sets are tiny
+    next to the corpus — is broadcast once via ray.put.  Phase 2 is a
+    streaming map_batches counting per-doc intersections against the
+    broadcast set; no shuffle touches the corpus side."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ids = np.asarray(batch.column("doc_id"))
+        keep = batch.filter(pa.array(ids % bench_mod == 0))
+        out: set = set()
+        for t in keep.column("text").to_pylist():
+            out |= _shingles3(t)
+        return pa.table({"g": sorted(out)}, schema=_BENCH_SHINGLE_SCHEMA)
+
+    bench_ds = (ds.map_batches(bench_partial, batch_format="pyarrow")
+                .groupby("g").count())
+    bench_set = frozenset(r["g"] for r in bench_ds.take_all())
+    bench_ref = ray.put(bench_set)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = np.asarray(batch.column("doc_id"))
+        texts = batch.column("text").to_pylist()
+        out_ids, out_hits = [], []
+        for d, t in zip(ids, texts):
+            if d % bench_mod == 0:
+                continue
+            n = len(_shingles3(t) & bench)
+            if n > 0:
+                out_ids.append(int(d))
+                out_hits.append(n)
+        return pa.table({"doc_id": out_ids, "n_hits": out_hits},
+                        schema=_CONTAM_SCHEMA)
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -224,3 +224,24 @@ def test_events_user_gaps_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         mine.astype({"n_gaps": "int64", "total_gap_sec": "int64"}),
         gold.astype({"n_gaps": "int64", "total_gap_sec": "int64"}))
+
+
+def test_contamination_check_flags_planted_overlap(ray_session, tmp_path):
+    """A doc that quotes a benchmark doc's phrase is flagged with the
+    exact shared-shingle count; disjoint docs are not."""
+    from iesl_pdf_to_text_ray.pipelines.table_ops import contamination_check
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = {
+        "doc_id": pa.array([0, 20, 1, 2], pa.int64()),   # 0, 20: benchmark
+        "text": [bench_text,
+                 "eta theta iota kappa",
+                 # quotes 'beta gamma delta epsilon' -> 2 shared 3-grams
+                 "unrelated words then beta gamma delta epsilon here",
+                 "totally disjoint vocabulary sentence with nothing shared"],
+    }
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    out = _pd(contamination_check(str(d))).set_index("doc_id")
+    assert out.loc[1, "n_hits"] == 2
+    assert 2 not in out.index
