@@ -141,10 +141,11 @@ def pdf_media_query(sf_dir: str):
                 "n_bytes": pa.array(cols["n_bytes"], pa.int64())})
 
     ds = ray.data.read_parquet(_corpus_dir())
-    # media payloads are MB-scale: small batches keep batch x concurrency
-    # inside the worker heap
+    # media payloads are MB-scale: one doc per batch keeps batch x
+    # concurrency inside the worker heap AND gives the decode stage
+    # doc-level parallelism (a single image-heavy doc can cost seconds)
     return ds.map_batches(ExtractMedia, batch_format="pyarrow",
-                          batch_size=4, concurrency=(1, 4))
+                          batch_size=1, concurrency=(2, 8))
 
 
 def extract_layout_query(sf_dir: str):
