@@ -184,6 +184,57 @@ def _jbig2_pixels(d: dict, payload: bytes, w: int, h: int,
     return packed[:h * stride]
 
 
+def _decode_array(d: dict, fetch, ncomp: int):
+    """The image's /Decode array as floats, or None."""
+    dec = fetch(d.get("Decode") or d.get("D"))
+    if not isinstance(dec, list) or len(dec) < 2 * ncomp:
+        return None
+    try:
+        return [float(fetch(v)) for v in dec[:2 * ncomp]]
+    except (TypeError, ValueError):
+        return None
+
+
+def _apply_decode(px: bytes, decode, bpc: int, ncomp: int,
+                  raw_domain: bool) -> bytes:
+    """Component remap per the /Decode array (reference
+    PDFImage.decodeBuffer, pdf.combined.js:42126): raw value ->
+    clamp(max*dmin + raw*(dmax-dmin)), truncated like typed-array
+    stores.  ``raw_domain``: px holds raw component values (indexed
+    path); otherwise px is 8-bit-scaled and the LUT is composed with the
+    scale."""
+    import numpy as np
+    mx = (1 << bpc) - 1
+    scale = 1 if raw_domain else 255 // mx
+    arr = np.frombuffer(px, np.uint8).copy()
+    tables = []
+    for j in range(ncomp):
+        dmin, dmax = decode[2 * j], decode[2 * j + 1]
+        coeff = dmax - dmin
+        addend = mx * dmin
+        lut = np.zeros(256, np.uint8)
+        for raw in range(mx + 1):
+            v = addend + raw * coeff
+            v = 0 if v < 0 else mx if v > mx else int(v)
+            lut[raw * scale] = v * scale
+        tables.append(lut)
+    if ncomp == 1:
+        arr = tables[0][arr]
+    else:
+        view = arr.reshape(-1, ncomp)
+        for j in range(ncomp):
+            view[:, j] = tables[j][view[:, j]]
+    return arr.tobytes()
+
+
+def _is_default_decode(decode, bpc: int, ncomp: int, kind: str) -> bool:
+    if decode is None:
+        return True
+    if kind == "indexed":
+        return decode == [0.0, float((1 << bpc) - 1)] * ncomp
+    return decode == [0.0, 1.0] * ncomp
+
+
 def materialize_image(source, xref) -> dict:
     """One media source (from PageInterpreter.media_sink) -> bytes.
 
@@ -255,6 +306,9 @@ def materialize_image(source, xref) -> dict:
         px = _unpack_bits(data, w, h, 1, 1, w * h * 4)
         if px is None or len(px) < w * h:
             return out
+        dec = _decode_array(d, fetch, 1)
+        if not _is_default_decode(dec, 1, 1, "gray"):
+            px = _apply_decode(px, dec, 1, 1, raw_domain=False)
         out["mime"] = "image/png"
         out["data"] = png_encode(w, h, px, color_type=0)
         return out
@@ -265,18 +319,21 @@ def materialize_image(source, xref) -> dict:
     px = _unpack_bits(data, w, h, bpc, ncomp, w * h * 4)
     if px is None or len(px) < w * h * ncomp:
         return out
+    dec = _decode_array(d, fetch, ncomp)
     if kind == "indexed":
         # palette indices must not be bit-scaled: recompute raw indices
         if bpc != 8:
             scale = 255 // ((1 << bpc) - 1)
             px = bytes(v // scale for v in px)
+        if not _is_default_decode(dec, bpc, ncomp, kind):
+            px = _apply_decode(px, dec, bpc, ncomp, raw_domain=True)
         pal = (palette or b"") + b"\x00" * (768 - len(palette or b""))
         out["mime"] = "image/png"
         out["data"] = png_encode(w, h, px, color_type=3, palette=pal[:768])
-    elif kind == "gray":
-        out["mime"] = "image/png"
-        out["data"] = png_encode(w, h, px, color_type=0)
     else:
+        if not _is_default_decode(dec, bpc, ncomp, kind):
+            px = _apply_decode(px, dec, bpc, ncomp, raw_domain=False)
         out["mime"] = "image/png"
-        out["data"] = png_encode(w, h, px, color_type=2)
+        out["data"] = png_encode(w, h, px,
+                                 color_type=0 if kind == "gray" else 2)
     return out

@@ -67,3 +67,84 @@ def test_media_refs_join_spans():
     # stream may repeat a cached ref; the media list is unique per ref)
     assert media_refs <= span_refs
     assert len(media_refs) > 0
+
+
+# ---- /Decode arrays (reference PDFImage.decodeBuffer :42126) --------------
+
+def _mini_pdf(image_obj: bytes) -> bytes:
+    content = b"q 8 0 0 4 0 0 cm /Im1 Do Q"
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 100 100] "
+            b"/Resources << /XObject << /Im1 5 0 R >> >> /Contents 4 0 R >>"),
+        4: b"<< /Length %d >>\nstream\n" % len(content) + content
+           + b"\nendstream",
+        5: image_obj,
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(objects[num])
+        out.extend(b"\nendobj\n")
+    xref_off = len(out)
+    out.extend(b"xref\n0 6\n0000000000 65535 f \n")
+    for num in range(1, 6):
+        out.extend(b"%010d 00000 n \n" % offsets[num])
+    out.extend(b"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n"
+               b"%d\n%%%%EOF\n" % xref_off)
+    return bytes(out)
+
+
+def _gray_pixels(png: bytes, w: int, h: int) -> bytes:
+    chunks = _parse_png(png)
+    raw = zlib.decompress(b"".join(chunks[b"IDAT"]))
+    return b"".join(raw[y * (w + 1) + 1:(y + 1) * (w + 1)]
+                    for y in range(h))
+
+
+def test_decode_array_inverts_gray():
+    import zlib as _z
+    samples = bytes(range(0, 32))          # 8x4 gray ramp
+    payload = _z.compress(samples)
+    img = (b"<< /Type /XObject /Subtype /Image /Width 8 /Height 4 "
+           b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+           b"/Decode [1 0] /Filter /FlateDecode "
+           b"/Length %d >>\nstream\n" % len(payload) + payload
+           + b"\nendstream")
+    media = extract_media(_mini_pdf(img))
+    assert media[0]["mime"] == "image/png"
+    pixels = _gray_pixels(media[0]["data"], 8, 4)
+    assert pixels == bytes(255 - v for v in samples)
+
+
+def test_decode_array_inverts_image_mask():
+    import zlib as _z
+    packed = bytes([0b10110001, 0b01001110, 0b11110000, 0b00001111])
+    payload = _z.compress(packed)
+    img = (b"<< /Type /XObject /Subtype /Image /Width 8 /Height 4 "
+           b"/ImageMask true /BitsPerComponent 1 /Decode [1 0] "
+           b"/Filter /FlateDecode /Length %d >>\nstream\n" % len(payload)
+           + payload + b"\nendstream")
+    media = extract_media(_mini_pdf(img))
+    assert media[0]["mime"] == "image/png"
+    pixels = _gray_pixels(media[0]["data"], 8, 4)
+    bits = [(packed[i // 8] >> (7 - i % 8)) & 1 for i in range(32)]
+    # default mask decode maps 1->255 after scaling; [1 0] flips it
+    assert pixels == bytes(255 if b == 0 else 0 for b in bits)
+
+
+def test_default_decode_unchanged():
+    import zlib as _z
+    samples = bytes(range(0, 32))
+    payload = _z.compress(samples)
+    img = (b"<< /Type /XObject /Subtype /Image /Width 8 /Height 4 "
+           b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+           b"/Decode [0 1] /Filter /FlateDecode "
+           b"/Length %d >>\nstream\n" % len(payload) + payload
+           + b"\nendstream")
+    media = extract_media(_mini_pdf(img))
+    pixels = _gray_pixels(media[0]["data"], 8, 4)
+    assert pixels == samples
