@@ -148,3 +148,71 @@ def test_default_decode_unchanged():
     media = extract_media(_mini_pdf(img))
     pixels = _gray_pixels(media[0]["data"], 8, 4)
     assert pixels == samples
+
+
+# ---- DeviceCMYK (reference DeviceCmykCS :41179) ---------------------------
+
+def test_cmyk_matches_reference_polynomial():
+    import base64
+    import json
+    import os
+    import random
+    import shutil
+    import subprocess
+    bundle = "/root/reference/src/main/js/pdf.combined.js"
+    if shutil.which("node") is None or not os.path.exists(bundle):
+        import pytest
+        pytest.skip("node or reference bundle unavailable")
+    from iesl_pdf_to_text_ray.pdf.images import _cmyk_to_rgb
+    rng = random.Random(31)
+    src = bytes(rng.randrange(256) for _ in range(4 * 500))
+    mine = _cmyk_to_rgb(src)
+    lines = open(bundle, encoding="utf-8").read().split("\n")
+    a = next(i for i, l in enumerate(lines)
+             if l.startswith("var DeviceCmykCS = "))
+    b = next(i for i in range(a, len(lines)) if lines[i] == "})();")
+    closure = "\n".join(lines[a:b + 1])
+    js = "\n".join([
+        "function shadow(o,p,v){return v;}",
+        "var ColorSpace = {prototype: {}, isDefaultDecode:"
+        " function(){return true;}};",
+        closure,
+        "var chunks=[];process.stdin.on('data',c=>chunks.push(c));",
+        "process.stdin.on('end',function(){",
+        "  var src=new Uint8Array(Buffer.from("
+        "JSON.parse(Buffer.concat(chunks).toString()).b64,'base64'));",
+        "  var dest=new Uint8Array(src.length/4*3);",
+        "  new DeviceCmykCS().getRgbBuffer(src,0,src.length/4,dest,0,8,0);",
+        "  process.stdout.write(JSON.stringify("
+        "{b64:Buffer.from(dest).toString('base64')}));",
+        "});"])
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".js", delete=False) as f:
+        f.write(js)
+        path = f.name
+    p = subprocess.run(["node", path],
+                       input=json.dumps(
+                           {"b64": base64.b64encode(src).decode()}).encode(),
+                       capture_output=True, timeout=60)
+    ref = base64.b64decode(json.loads(p.stdout)["b64"])
+    assert mine == ref
+
+
+def test_cmyk_image_materializes_rgb_png():
+    import zlib as _z
+    # 4x2 CMYK: pure C, M, Y, K, white, mid-gray-ish, red-ish, blue-ish
+    cmyk = bytes([255, 0, 0, 0,  0, 255, 0, 0,  0, 0, 255, 0,
+                  0, 0, 0, 255,  0, 0, 0, 0,  64, 64, 64, 64,
+                  0, 255, 255, 0,  255, 255, 0, 0])
+    payload = _z.compress(cmyk)
+    img = (b"<< /Type /XObject /Subtype /Image /Width 4 /Height 2 "
+           b"/ColorSpace /DeviceCMYK /BitsPerComponent 8 "
+           b"/Filter /FlateDecode /Length %d >>\nstream\n" % len(payload)
+           + payload + b"\nendstream")
+    media = extract_media(_mini_pdf(img))
+    assert media[0]["mime"] == "image/png"
+    from iesl_pdf_to_text_ray.pdf.images import _cmyk_to_rgb
+    chunks = _parse_png(media[0]["data"])
+    raw = zlib.decompress(b"".join(chunks[b"IDAT"]))
+    pixels = b"".join(raw[y * 13 + 1:(y + 1) * 13] for y in range(2))
+    assert pixels == _cmyk_to_rgb(cmyk)
