@@ -103,6 +103,36 @@ def extract_corpus_split_query(sf_dir: str):
     return ds.map_batches(summarize, batch_format="pyarrow")
 
 
+def extract_corpus_chunked_query(sf_dir: str):
+    """Extraction over the chunked-payload layout (sources/chunked.py,
+    the ChunkedStream analog): corpus -> bounded chunk rows -> shuffle
+    reassembly -> the same extraction stage; digest-comparable with
+    extract_corpus."""
+    import pyarrow as pa
+    from iesl_pdf_to_text_ray.pipelines.extract_pipeline import \
+        extract_dataset
+    from iesl_pdf_to_text_ray.sources.chunked import (
+        read_chunked_corpus, write_chunked_corpus)
+    from iesl_pdf_to_text_ray.stages.extract import spans_digest
+    chunked_dir = "/tmp/graft_chunked_corpus"
+    import os
+    if not os.path.exists(os.path.join(chunked_dir, "_done")):
+        write_chunked_corpus(_corpus_dir(), chunked_dir,
+                             chunk_bytes=64 << 10)
+        open(os.path.join(chunked_dir, "_done"), "w").close()
+    ds = extract_dataset(read_chunked_corpus(chunked_dir),
+                         concurrency=(1, 4), batch_size=4)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+            "n_spans": pa.array([r["n_spans"] for r in rows], pa.int32()),
+            "digest": pa.array([spans_digest(r["spans"]) for r in rows],
+                               pa.string())})
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
 def pdf_media_query(sf_dir: str):
     """Real multimodal column end-to-end: PDF corpus -> per-image media
     rows with materialized bytes (PNG-encoded rasters / pass-through
@@ -265,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # extraction engine (non-SQL; golden-verified via pytest)
         "extract_corpus": extract_corpus_query,
         "extract_corpus_split": extract_corpus_split_query,
+        "extract_corpus_chunked": extract_corpus_chunked_query,
         "spans_normalize": spans_ops.spans_pipeline,
         # dedup family
         "dedup_exact": table_ops.dedup_exact,
@@ -326,8 +357,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 # Queries intentionally absent from oracle_sql(), with why SQL cannot
 # express them (the driver records a rows-only check for these):
-#   extract_corpus / extract_corpus_split / pdf_metadata / pdf_media /
-#   pdf_text_items / extract_layout / pdf_training_text — operate on the
+#   extract_corpus / extract_corpus_split / extract_corpus_chunked /
+#   pdf_metadata / pdf_media / pdf_text_items / extract_layout /
+#   pdf_training_text — operate on the
 #     PDF byte corpus, which is not among the driver's 10 registered
 #     DuckDB views; correctness is enforced instead by golden
 #     span-sequence equality in tests/test_golden.py (4/4 docs exact) and
