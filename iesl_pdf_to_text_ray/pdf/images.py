@@ -64,7 +64,9 @@ def _filters_of(d: dict, fetch) -> list[str]:
 
 
 def _colorspace_info(cs, fetch):
-    """-> (kind, palette_bytes|None, n_components)"""
+    """-> (kind, aux, n_components); aux is the palette bytes for
+    indexed, the (XW, YW, ZW, amin, amax, bmin, bmax) tuple for lab,
+    else None."""
     cs = fetch(cs)
     name = str(cs) if not isinstance(cs, list) else str(fetch(cs[0]))
     if isinstance(cs, list):
@@ -91,6 +93,22 @@ def _colorspace_info(cs, fetch):
             n = fetch(stm.dict.get("N")) if isinstance(stm, Stream) else 3
             return ({1: "gray", 3: "rgb", 4: "cmyk"}.get(int(n or 3)),
                     None, int(n or 3))
+        if name == "Lab":
+            p = fetch(cs[1]) if len(cs) > 1 else None
+            p = p if isinstance(p, dict) else {}
+            wp = fetch(p.get("WhitePoint"))
+            if not (isinstance(wp, list) and len(wp) == 3):
+                return None, None, 3    # WhitePoint required (reference
+            rng = fetch(p.get("Range"))  # errors; we keep the raw bytes)
+            if not (isinstance(rng, list) and len(rng) == 4):
+                rng = [-100, 100, -100, 100]
+            if rng[0] > rng[1] or rng[2] > rng[3]:
+                rng = [-100, 100, -100, 100]
+            params = (float(fetch(wp[0])), float(fetch(wp[1])),
+                      float(fetch(wp[2])), float(fetch(rng[0])),
+                      float(fetch(rng[1])), float(fetch(rng[2])),
+                      float(fetch(rng[3])))
+            return "lab", params, 3
     if name in ("DeviceGray", "CalGray", "G"):
         return "gray", None, 1
     if name in ("DeviceRGB", "CalRGB", "RGB"):
@@ -224,6 +242,49 @@ def _cmyk_to_rgb(px: bytes) -> bytes:
     for i, ch in enumerate((r, g, b)):
         t = ch.astype(np.int32)          # JS |0: truncate toward zero
         out[:, i] = np.clip(t, 0, 255).astype(np.uint8)
+    return out.tobytes()
+
+
+def _lab_to_rgb(px: bytes, params: tuple) -> bytes:
+    """Lab -> RGB per the reference's LabCS.convertToRgb
+    (pdf.combined.js:41722): range mapping, g(), D50/D65 matrices
+    selected by ZW, sqrt-gamma, |0 truncation.  Like the reference, any
+    /Decode array on a Lab image is ignored (decoding is folded into the
+    range mapping)."""
+    import numpy as np
+    xw, yw, zw, amin, amax, bmin, bmax = params
+    a = np.frombuffer(px, np.uint8).reshape(-1, 3).astype(np.float64)
+    ls = a[:, 0] * (100.0 / 255.0)
+    as_ = amin + a[:, 1] * (amax - amin) / 255.0
+    bs = bmin + a[:, 2] * (bmax - bmin) / 255.0
+    as_ = np.clip(as_, amin, amax)
+    bs = np.clip(bs, bmin, bmax)
+    m = (ls + 16.0) / 116.0
+    ll = m + as_ / 500.0
+    n = m - bs / 200.0
+
+    def g(x):
+        return np.where(x >= 6.0 / 29.0, x ** 3,
+                        (108.0 / 841.0) * (x - 4.0 / 29.0))
+
+    x = xw * g(ll)
+    y = yw * g(m)
+    z = zw * g(n)
+    if zw < 1:          # D50
+        r = x * 3.1339 + y * -1.6170 + z * -0.4906
+        gg = x * -0.9785 + y * 1.9160 + z * 0.0333
+        b = x * 0.0720 + y * -0.2290 + z * 1.4057
+    else:               # D65
+        r = x * 3.2406 + y * -1.5372 + z * -0.4986
+        gg = x * -0.9689 + y * 1.8758 + z * 0.0415
+        b = x * 0.0557 + y * -0.2040 + z * 1.0570
+    out = np.empty((len(a), 3), np.uint8)
+    for i, ch in enumerate((r, gg, b)):
+        v = np.where(ch <= 0, 0.0,
+                     np.where(ch >= 1, 255.0,
+                              np.trunc(np.sqrt(np.clip(ch, 0, None))
+                                       * 255.0)))
+        out[:, i] = v.astype(np.uint8)
     return out.tobytes()
 
 
@@ -374,10 +435,12 @@ def materialize_image(source, xref) -> dict:
         out["mime"] = "image/png"
         out["data"] = png_encode(w, h, px, color_type=3, palette=pal[:768])
     else:
-        if not _is_default_decode(dec, bpc, ncomp, kind):
+        if kind != "lab" and not _is_default_decode(dec, bpc, ncomp, kind):
             px = _apply_decode(px, dec, bpc, ncomp, raw_domain=False)
         if kind == "cmyk":
             px = _cmyk_to_rgb(px)
+        elif kind == "lab":
+            px = _lab_to_rgb(px, palette)
         out["mime"] = "image/png"
         out["data"] = png_encode(w, h, px,
                                  color_type=0 if kind == "gray" else 2)

@@ -216,3 +216,78 @@ def test_cmyk_image_materializes_rgb_png():
     raw = zlib.decompress(b"".join(chunks[b"IDAT"]))
     pixels = b"".join(raw[y * 13 + 1:(y + 1) * 13] for y in range(2))
     assert pixels == _cmyk_to_rgb(cmyk)
+
+
+# ---- Lab colorspace (reference LabCS :41662) ------------------------------
+
+def test_lab_matches_reference_conversion():
+    import base64
+    import json
+    import os
+    import random
+    import shutil
+    import subprocess
+    import tempfile
+    bundle = "/root/reference/src/main/js/pdf.combined.js"
+    if shutil.which("node") is None or not os.path.exists(bundle):
+        import pytest
+        pytest.skip("node or reference bundle unavailable")
+    from iesl_pdf_to_text_ray.pdf.images import _lab_to_rgb
+    rng = random.Random(7)
+    src = bytes(rng.randrange(256) for _ in range(3 * 400))
+    for wp, rng4 in (([0.9505, 1.0, 1.0888], [-100, 100, -100, 100]),
+                     ([0.9642, 1.0, 0.8249], [-50, 80, -40, 90])):
+        params = tuple(wp) + tuple(float(v) for v in rng4)
+        mine = _lab_to_rgb(src, params)
+        lines = open(bundle, encoding="utf-8").read().split("\n")
+        a = next(i for i, l in enumerate(lines)
+                 if l.startswith("var LabCS = "))
+        b = next(i for i in range(a, len(lines)) if lines[i] == "})();")
+        js = "\n".join([
+            "function shadow(o,p,v){return v;}",
+            "function error(m){throw new Error(m);}",
+            "function warn(m){} var info=warn;",
+            "var ColorSpace = {prototype: {}, isDefaultDecode:"
+            " function(){return true;}};",
+            "\n".join(lines[a:b + 1]),
+            "var chunks=[];process.stdin.on('data',c=>chunks.push(c));",
+            "process.stdin.on('end',function(){",
+            "  var req=JSON.parse(Buffer.concat(chunks).toString());",
+            "  var src=new Uint8Array(Buffer.from(req.b64,'base64'));",
+            "  var cs=new LabCS(req.wp,null,req.range);",
+            "  var dest=new Uint8Array(src.length);",
+            "  cs.getRgbBuffer(src,0,src.length/3,dest,0,8,0);",
+            "  process.stdout.write(JSON.stringify("
+            "{b64:Buffer.from(dest).toString('base64')}));",
+            "});"])
+        with tempfile.NamedTemporaryFile("w", suffix=".js",
+                                         delete=False) as f:
+            f.write(js)
+            path = f.name
+        p = subprocess.run(
+            ["node", path],
+            input=json.dumps({"b64": base64.b64encode(src).decode(),
+                              "wp": wp, "range": rng4}).encode(),
+            capture_output=True, timeout=60)
+        r = json.loads(p.stdout)
+        ref = base64.b64decode(r["b64"])
+        assert mine == ref, (wp, rng4)
+
+
+def test_lab_image_materializes_rgb_png():
+    import zlib as _z
+    lab = bytes([128, 128, 128, 255, 0, 0, 0, 255, 255, 40, 200, 90])
+    payload = _z.compress(lab)
+    img = (b"<< /Type /XObject /Subtype /Image /Width 4 /Height 1 "
+           b"/ColorSpace [/Lab << /WhitePoint [0.9505 1.0 1.0888] >>] "
+           b"/BitsPerComponent 8 /Filter /FlateDecode "
+           b"/Length %d >>\nstream\n" % len(payload) + payload
+           + b"\nendstream")
+    media = extract_media(_mini_pdf(img))
+    assert media[0]["mime"] == "image/png"
+    from iesl_pdf_to_text_ray.pdf.images import _lab_to_rgb
+    chunks = _parse_png(media[0]["data"])
+    raw = zlib.decompress(b"".join(chunks[b"IDAT"]))
+    pixels = raw[1:13]
+    assert pixels == _lab_to_rgb(
+        lab, (0.9505, 1.0, 1.0888, -100.0, 100.0, -100.0, 100.0))
