@@ -93,6 +93,25 @@ def _colorspace_info(cs, fetch):
             n = fetch(stm.dict.get("N")) if isinstance(stm, Stream) else 3
             return ({1: "gray", 3: "rgb", 4: "cmyk"}.get(int(n or 3)),
                     None, int(n or 3))
+        if name in ("Separation", "DeviceN"):
+            # tint transform through the PDF function engine
+            # (reference AlternateCS, pdf.combined.js:40933)
+            if len(cs) < 4:
+                return None, None, 1
+            base_kind, base_aux, base_n = _colorspace_info(cs[2], fetch)
+            if base_kind not in ("gray", "rgb", "cmyk"):
+                return None, None, 1
+            from .functions import parse_function_array
+            try:
+                tint = parse_function_array(
+                    fetch(cs[3]), fetch,
+                    lambda s, _x: decode_stream(s, None))
+            except Exception:
+                return None, None, 1
+            names = fetch(cs[1])
+            n_in = (len(names) if name == "DeviceN"
+                    and isinstance(names, list) else 1)
+            return "sep", (tint, base_kind, base_n), n_in
         if name == "Lab":
             p = fetch(cs[1]) if len(cs) > 1 else None
             p = p if isinstance(p, dict) else {}
@@ -288,6 +307,33 @@ def _lab_to_rgb(px: bytes, params: tuple) -> bytes:
     return out.tobytes()
 
 
+def _separation_to_base(px: bytes, n_in: int, tint, base_n: int) -> bytes:
+    """Separation/DeviceN samples -> alternate-space samples through the
+    tint transform (reference AlternateCS.getRgbBuffer,
+    pdf.combined.js:40955): scaled to [0,1], transformed, stored with
+    Uint8Array truncation-modulo semantics.  Tint outputs are memoized
+    per distinct input (images carry few distinct tints; the reference
+    caches PS evaluations the same way)."""
+    import numpy as np
+    a = np.frombuffer(px, np.uint8).reshape(-1, n_in)
+    out = np.empty((len(a), base_n), np.uint8)
+    cache: dict = {}
+    for i in range(len(a)):
+        key = a[i].tobytes()
+        r = cache.get(key)
+        if r is None:
+            # the reference stages scaled inputs through a Float32Array
+            # before the tint fn; round the same way so boundary
+            # comparisons inside the function agree
+            tinted = tint([float(np.float32(v / 255.0)) for v in a[i]])
+            r = [int(t * 255.0) & 0xFF for t in tinted[:base_n]]
+            while len(r) < base_n:
+                r.append(0)
+            cache[key] = r
+        out[i] = r
+    return out.tobytes()
+
+
 def _decode_array(d: dict, fetch, ncomp: int):
     """The image's /Decode array as floats, or None."""
     dec = fetch(d.get("Decode") or d.get("D"))
@@ -437,6 +483,10 @@ def materialize_image(source, xref) -> dict:
     else:
         if kind != "lab" and not _is_default_decode(dec, bpc, ncomp, kind):
             px = _apply_decode(px, dec, bpc, ncomp, raw_domain=False)
+        if kind == "sep":
+            tint, base_kind, base_n = palette
+            px = _separation_to_base(px, ncomp, tint, base_n)
+            kind = base_kind
         if kind == "cmyk":
             px = _cmyk_to_rgb(px)
         elif kind == "lab":
