@@ -216,7 +216,7 @@ def pdf_training_text_query(sf_dir: str):
     corpus)."""
     import pyarrow as pa
 
-    from iesl_pdf_to_text_ray.functions.layout import strip_headers_footers
+    from iesl_pdf_to_text_ray.functions.layout import body_text_lines
     from iesl_pdf_to_text_ray.functions.textops import quality_batch
     from iesl_pdf_to_text_ray.pipelines.extract_pipeline import extract_dataset
     ds = extract_dataset(_corpus_dir(), concurrency=(1, 4), batch_size=4)
@@ -224,10 +224,10 @@ def pdf_training_text_query(sf_dir: str):
     def body_text(batch: pa.Table) -> pa.Table:
         ids, texts = [], []
         for row in batch.to_pylist():
-            body = strip_headers_footers(row["spans"])
+            # full layout pipeline: header/footer strip -> column-aware
+            # reading-order line merge -> hyphenation repair
             ids.append(row["doc_id"])
-            texts.append(" ".join(s["text"] for s in body
-                                  if s["kind"] == "text"))
+            texts.append("\n".join(body_text_lines(row["spans"])))
         return pa.table({"doc_id": pa.array(ids, pa.string()),
                          "text": pa.array(texts, pa.string())})
 

@@ -110,3 +110,148 @@ def detect_columns(spans: list[dict], page: int, *, bins: int = 40,
     low = interior < gutter_frac * med
     runs = int(np.count_nonzero(low[1:] & ~low[:-1]) + (1 if low[0] else 0))
     return 1 + runs
+
+
+def _gutter_positions(spans: list[dict], page: int, *, bins: int = 40,
+                      gutter_frac: float = 0.35,
+                      edge: int = 3) -> list[float]:
+    """x positions of the column gutters on a page (the same histogram
+    detect_columns counts runs in)."""
+    axs: list[float] = []
+    for s in spans:
+        if s["kind"] != "text" or s.get("page") != page:
+            continue
+        a, b, c, d, e, f = s.get("mat") or (1, 0, 0, 1, 0, 0)
+        y0 = s.get("y") or 0.0
+        for v in (s.get("x") or []):
+            if v != -1.0:
+                axs.append(a * v + c * y0 + e)
+    if len(axs) < 100:
+        return []
+    h, edges = np.histogram(np.asarray(axs), bins=bins)
+    interior = h[edge:-edge]
+    med = np.median(h[h > 0])
+    low = interior < gutter_frac * med
+    out = []
+    i = 0
+    while i < len(low):
+        if low[i]:
+            j = i
+            while j + 1 < len(low) and low[j + 1]:
+                j += 1
+            lo_edge = edges[edge + i]
+            hi_edge = edges[edge + j + 1]
+            out.append((lo_edge + hi_edge) / 2.0)
+            i = j + 1
+        else:
+            i += 1
+    return out
+
+
+def merge_lines(spans: list[dict], *, y_tol: float = 2.5) -> list[str]:
+    """Reading-order line assembly over positional spans: per page,
+    spans are bucketed into columns (gutters from the x histogram),
+    ordered top-to-bottom within a column (orientation inferred from
+    emission order, so either y convention works), and spans whose
+    baselines agree within ``y_tol`` merge into one line.  Whether two
+    adjacent spans get a separating space is decided by the page-space
+    gap against the left span's own glyph advance — golden spans split
+    mid-word at font changes, so unconditional spaces would corrupt
+    words."""
+    lines: list[str] = []
+    pages = sorted({s["page"] for s in spans
+                    if s.get("page") is not None and s["kind"] == "text"})
+    for pg in pages:
+        recs = []        # (px_first, px_last, advance, py, text)
+        for s in spans:
+            if s["kind"] != "text" or s.get("page") != pg or \
+                    s.get("y") is None:
+                continue
+            xs = [v for v in (s.get("x") or []) if v != -1.0]
+            if not xs or not s["text"]:
+                continue
+            a, b, c, d, e, f = s.get("mat") or (1, 0, 0, 1, 0, 0)
+            y0 = s["y"]
+            px0 = a * xs[0] + c * y0 + e
+            px1 = a * xs[-1] + c * y0 + e
+            py = b * xs[0] + d * y0 + f
+            adv = (abs(px1 - px0) / max(1, len(xs) - 1)) if len(xs) > 1 \
+                else 0.0
+            recs.append((px0, px1, adv, py, s["text"]))
+        if not recs:
+            continue
+        # orientation: emission (DOM) order is roughly reading order
+        ys = np.asarray([r[3] for r in recs])
+        if len(ys) > 2 and np.polyfit(np.arange(len(ys)), ys, 1)[0] < 0:
+            recs = [(px0, px1, adv, -py, t)
+                    for px0, px1, adv, py, t in recs]
+        gutters = _gutter_positions(spans, pg)
+
+        def col_of(px: float) -> int:
+            n = 0
+            for g in gutters:
+                if px > g:
+                    n += 1
+            return n
+
+        recs.sort(key=lambda r: (col_of(r[0]), r[3], r[0]))
+        cur: list = []
+        cur_y = None
+        cur_col = None
+        for r in recs:
+            col = col_of(r[0])
+            if cur and col == cur_col and abs(r[3] - cur_y) <= y_tol:
+                cur.append(r)
+            else:
+                if cur:
+                    lines.append(_join_line(cur))
+                cur = [r]
+                cur_y = r[3]
+                cur_col = col
+        if cur:
+            lines.append(_join_line(cur))
+    return lines
+
+
+def _join_line(recs: list) -> str:
+    recs = sorted(recs, key=lambda r: r[0])
+    out = ""
+    prev_end = None
+    prev_adv = 0.0
+    for px0, px1, adv, _py, text in recs:
+        if out:
+            gap = px0 - prev_end
+            ref = max(prev_adv, adv, 1e-6)
+            # conservative: true word breaks already carry emitted
+            # space chunks inside span text (the golden contract);
+            # between-span separators only close LARGE gaps (tabular
+            # cells, column remnants), never font-change kerns
+            if gap > 1.2 * ref and not out.endswith(" ") and \
+                    not text.startswith(" "):
+                out += " "
+        out += text
+        prev_end = px1
+        prev_adv = adv if adv > 0 else prev_adv
+    return out
+
+
+def repair_hyphenation(lines: list[str]) -> list[str]:
+    """Join hyphen-broken words across consecutive lines: a line ending
+    in '-' whose successor starts with a lowercase letter merges with
+    the hyphen removed; uppercase/digit starts keep the hyphen (likely a
+    real compound or enumeration)."""
+    out: list[str] = []
+    for line in lines:
+        line = line.rstrip()
+        if out and out[-1].endswith("-") and line and line[0].islower():
+            out[-1] = out[-1][:-1] + line
+        else:
+            out.append(line)
+    return out
+
+
+def body_text_lines(spans: list[dict]) -> list[str]:
+    """The full layout pipeline the north star names: header/footer
+    strip -> column-aware reading-order line merge -> hyphenation
+    repair."""
+    return repair_hyphenation(merge_lines(strip_headers_footers(spans)))

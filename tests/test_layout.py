@@ -66,3 +66,63 @@ def test_real_corpus_columns():
 
     assert detect_columns(spans_of("C04-1204"), page=1) == 2
     assert detect_columns(spans_of("1301.4293"), page=1) == 1
+
+
+# ---- line merging + hyphenation repair (north-star layout heuristics) -----
+
+def _mk_span(text, x0, y, page=0, adv=5.0):
+    xs = [x0 + i * adv for i in range(len(text))]
+    return {"kind": "text", "text": text, "media_ref": "", "offset": 0,
+            "x": xs, "y": y, "page": page, "mat": [1, 0, 0, 1, 0, 0]}
+
+
+def test_merge_lines_same_baseline_and_order():
+    from iesl_pdf_to_text_ray.functions.layout import merge_lines
+    spans = [
+        _mk_span("world", 60, 10),       # same line, right part
+        _mk_span("hello ", 10, 10),      # same line, left part
+        _mk_span("second line", 10, 30),
+    ]
+    lines = merge_lines(spans)
+    assert lines == ["hello world", "second line"]
+
+
+def test_merge_lines_no_space_for_font_change_kern():
+    from iesl_pdf_to_text_ray.functions.layout import merge_lines
+    # "Pre" + "dicate" split mid-word with a tight gap must NOT get a space
+    a = _mk_span("Pre", 10, 10, adv=5.0)
+    b = _mk_span("dicate", 10 + 3 * 5.0, 10, adv=5.0)
+    assert merge_lines([a, b]) == ["Predicate"]
+
+
+def test_repair_hyphenation_rules():
+    from iesl_pdf_to_text_ray.functions.layout import repair_hyphenation
+    lines = ["this is a con-", "tinuation", "a real-", "Compound stays",
+             "trailing-"]
+    out = repair_hyphenation(lines)
+    assert out == ["this is a continuation", "a real-", "Compound stays",
+                   "trailing-"]
+
+
+def test_body_text_lines_on_corpus():
+    from iesl_pdf_to_text_ray.functions.layout import (
+        body_text_lines, merge_lines, repair_hyphenation,
+        strip_headers_footers)
+    from iesl_pdf_to_text_ray.pdf.extractor import extract_spans
+    from iesl_pdf_to_text_ray.sources.corpus import reference_pdf_bytes
+
+    def as_dicts(spans):
+        return [{"kind": k, "text": t, "media_ref": m, "offset": o,
+                 "x": xs, "y": y, "page": pg, "mat": mt}
+                for k, t, m, o, xs, y, pg, mt in spans]
+
+    spans = as_dicts(extract_spans(reference_pdf_bytes()["C04-1204"]))
+    merged = merge_lines(strip_headers_footers(spans))
+    repaired = repair_hyphenation(merged)
+    # hyphenation repair must join the vast majority of broken words
+    before = sum(1 for l in merged if l.rstrip().endswith("-"))
+    after = sum(1 for l in repaired if l.rstrip().endswith("-"))
+    assert before > 100 and after < before * 0.1
+    # two-column reading order: the known title line survives intact
+    assert any("Predicate-Argument" in l for l in repaired[:5])
+    assert body_text_lines(spans) == repaired   # composition is exact
