@@ -86,7 +86,31 @@ def _colorspace_info(cs, fetch):
                 pal = bytes(b for v in (lookup or b"") for b in (v, v, v))
                 return "indexed", pal, 1
             if basename == "ICCBased":
+                bk, _a, bn = _colorspace_info(base, fetch)
+                if bk == "gray":
+                    pal = bytes(b for v in (lookup or b"")
+                                for b in (v, v, v))
+                    return "indexed", pal, 1
+                if bk == "cmyk":
+                    lut = bytes(lookup or b"")
+                    return "indexed", _cmyk_to_rgb(lut[:len(lut) // 4 * 4]), 1
                 return "indexed", bytes(lookup or b""), 1
+            # palettes over convertible bases resolve to RGB triples
+            bk, ba, bn = _colorspace_info(base, fetch)
+            lut = bytes(lookup or b"")
+            lut = lut[:len(lut) // max(1, bn) * max(1, bn)]
+            if bk == "cmyk":
+                return "indexed", _cmyk_to_rgb(lut), 1
+            if bk == "lab":
+                return "indexed", _lab_to_rgb(lut, ba), 1
+            if bk == "sep":
+                tint, base_kind, base_n = ba
+                samples = _separation_to_base(lut, bn, tint, base_n)
+                if base_kind == "gray":
+                    samples = bytes(b for v in samples for b in (v, v, v))
+                elif base_kind == "cmyk":
+                    samples = _cmyk_to_rgb(samples)
+                return "indexed", samples, 1
             return None, None, 1
         if name == "ICCBased":
             stm = fetch(cs[1])

@@ -252,6 +252,10 @@ def decode_bitmap(mmr: bool, width: int, height: int, template_index: int,
     pdf.combined.js:9772)."""
     if mmr:
         raise PdfError("JBIG2: MMR encoding is not supported")
+    if width * height > 1 << 26 or width < 0 or height < 0:
+        # corrupt headers must fail fast, not allocate gigabytes
+        raise PdfError("JBIG2: unreasonable region size %dx%d"
+                       % (width, height))
     template = _sorted_template(template_index, at)
     tlen = len(template)
     pseudo = _REUSED_CONTEXTS[template_index]
@@ -610,6 +614,8 @@ class PageVisitor:
         height = info.get("height")
         if height is None:
             raise PdfError("JBIG2: unknown page height is not supported")
+        if row_size * height > 1 << 28:
+            raise PdfError("JBIG2: unreasonable page size")
         self.buffer = bytearray(row_size * height)
         if info["default_pixel_value"]:
             for i in range(len(self.buffer)):

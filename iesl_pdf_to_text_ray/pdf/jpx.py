@@ -1394,6 +1394,10 @@ class JpxImage:
                     siz = _Obj()
                     siz.Xsiz = _u32(data, position + 4)
                     siz.Ysiz = _u32(data, position + 8)
+                    if siz.Xsiz * siz.Ysiz > 1 << 28:
+                        # corrupt headers must fail fast (recovery path
+                        # still catches this), not allocate gigabytes
+                        raise JpxError("JPX: unreasonable image size")
                     siz.XOsiz = _u32(data, position + 12)
                     siz.YOsiz = _u32(data, position + 16)
                     siz.XTsiz = _u32(data, position + 20)

@@ -383,3 +383,23 @@ def test_refined_symbols_vs_reference(ref_jbig2):
     mine, _, _ = J.parse_chunks(
         [{"data": stream, "start": 0, "end": len(stream)}])
     assert bytes(mine) == ref_jbig2([stream])
+
+
+def test_fuzz_corrupt_streams_fail_cleanly():
+    """Random garbage and bit-flipped valid streams must raise or
+    return quickly — never hang or allocate unboundedly (corrupt
+    headers can claim gigapixel regions)."""
+    rng = random.Random(99)
+    valid = J.build_generic_region_stream(_random_bitmap(1, 24, 16))
+    cases = [bytes(rng.randrange(256) for _ in range(rng.randint(1, 200)))
+             for _ in range(30)]
+    for _ in range(30):
+        b = bytearray(valid)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        cases.append(bytes(b))
+    for data in cases:
+        try:
+            J.jbig2_decode(data)
+        except Exception:
+            pass

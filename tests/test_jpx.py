@@ -273,3 +273,22 @@ def test_pdf_jpx_image_materializes_png():
                  for y in range(h)), np.uint8).reshape(h, w, 3)
     expect = np.stack([np.array(p, np.uint8) for p in planes], axis=-1)
     assert np.array_equal(pixels, expect)
+
+
+def test_fuzz_corrupt_streams_fail_cleanly():
+    """Random garbage and bit-flipped valid codestreams must raise or
+    return quickly — never hang or allocate unboundedly."""
+    rng = random.Random(77)
+    valid = J.encode_j2k([_rnd(0, 16, 12)], levels=1, xcb=4, ycb=4)
+    cases = [bytes(rng.randrange(256) for _ in range(rng.randint(2, 200)))
+             for _ in range(30)]
+    for _ in range(30):
+        b = bytearray(valid)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        cases.append(bytes(b))
+    for data in cases:
+        try:
+            J.jpx_decode(data)
+        except Exception:
+            pass
