@@ -34,8 +34,9 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
 def png_encode(width: int, height: int, pixels: bytes,
                color_type: int, bit_depth: int = 8,
                palette: bytes | None = None) -> bytes:
-    """Minimal PNG writer: color_type 0 (gray), 2 (RGB), 3 (indexed)."""
-    bpp = {0: 1, 2: 3, 3: 1}[color_type]
+    """Minimal PNG writer: color_type 0 (gray), 2 (RGB), 3 (indexed),
+    4 (gray+alpha), 6 (RGBA)."""
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     row_bytes = (width * bit_depth * bpp + 7) // 8
     raw = bytearray()
     for y in range(height):
@@ -409,6 +410,88 @@ def _is_default_decode(decode, bpc: int, ncomp: int, kind: str) -> bool:
     return decode == [0.0, 1.0] * ncomp
 
 
+def _png_gray_samples(png: bytes, w: int, h: int) -> bytes | None:
+    """Read back the 8-bit gray samples of a PNG our own writer
+    produced (filter byte 0 per row)."""
+    if not png.startswith(b"\x89PNG"):
+        return None
+    pos = 8
+    idat = b""
+    while pos + 8 <= len(png):
+        (length,) = struct.unpack(">I", png[pos:pos + 4])
+        tag = png[pos + 4:pos + 8]
+        if tag == b"IDAT":
+            idat += png[pos + 8:pos + 8 + length]
+        pos += 12 + length
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    if len(raw) < h * (w + 1):
+        return None
+    return b"".join(raw[y * (w + 1) + 1:(y + 1) * (w + 1)]
+                    for y in range(h))
+
+
+def _smask_alpha(smask_obj, xref, w: int, h: int) -> bytes | None:
+    """Alpha channel from a /SMask stream (reference PDFImage.fillOpacity
+    pdf.combined.js:42246): the soft mask decodes like any DeviceGray
+    image (all codec branches apply), nearest-neighbor resized to the
+    base image size when dimensions differ (reference resizeImageMask)."""
+    if not isinstance(smask_obj, Stream):
+        return None
+    m = materialize_image(("xobj", smask_obj), xref)
+    if m["mime"] != "image/png" or m["width"] <= 0 or m["height"] <= 0:
+        return None
+    sw, sh = m["width"], m["height"]
+    samples = _png_gray_samples(m["data"], sw, sh)
+    if samples is None:
+        return None
+    if (sw, sh) == (w, h):
+        return samples
+    import numpy as np
+    arr = np.frombuffer(samples, np.uint8).reshape(sh, sw)
+    yi = (np.arange(h) * sh // h).clip(0, sh - 1)
+    xi = (np.arange(w) * sw // w).clip(0, sw - 1)
+    return arr[yi][:, xi].tobytes()
+
+
+def _compose_rgba(px: bytes, nc: int, alpha: bytes, w: int,
+                  h: int) -> bytes:
+    """Interleave color samples (gray or RGB) with an alpha channel to
+    RGBA, expanding gray to triples (the reference always ships
+    RGBA_32BPP when opacity is present)."""
+    import numpy as np
+    n = w * h
+    a = np.frombuffer(px[:n * nc], np.uint8).reshape(n, nc)
+    rgb = np.repeat(a, 3, axis=1) if nc == 1 else a
+    al = np.frombuffer(alpha[:n], np.uint8).reshape(n, 1)
+    return np.concatenate([rgb, al], axis=1).tobytes()
+
+
+def _color_key_alpha(d: dict, fetch, raw_px: bytes, ncomp: int,
+                     bpc: int, w: int, h: int) -> bytes | None:
+    """Color-key masking (/Mask as a range array, reference fillOpacity
+    :42277): alpha 0 where every RAW component falls inside its
+    [min, max] range."""
+    mask = fetch(d.get("Mask"))
+    if not (isinstance(mask, list) and len(mask) >= 2 * ncomp):
+        return None
+    try:
+        rng = [int(fetch(v)) for v in mask[:2 * ncomp]]
+    except (TypeError, ValueError):
+        return None
+    import numpy as np
+    scale = 255 // ((1 << bpc) - 1)
+    n = w * h
+    arr = (np.frombuffer(raw_px[:n * ncomp], np.uint8)
+           .reshape(n, ncomp) // scale)
+    inside = np.ones(n, bool)
+    for j in range(ncomp):
+        inside &= (arr[:, j] >= rng[2 * j]) & (arr[:, j] <= rng[2 * j + 1])
+    return np.where(inside, 0, 255).astype(np.uint8).tobytes()
+
+
 def materialize_image(source, xref) -> dict:
     """One media source (from PageInterpreter.media_sink) -> bytes.
 
@@ -502,11 +585,27 @@ def materialize_image(source, xref) -> dict:
         if not _is_default_decode(dec, bpc, ncomp, kind):
             px = _apply_decode(px, dec, bpc, ncomp, raw_domain=True)
         pal = (palette or b"") + b"\x00" * (768 - len(palette or b""))
+        alpha = _smask_alpha(fetch(d.get("SMask")), xref, w, h)
         out["mime"] = "image/png"
-        out["data"] = png_encode(w, h, px, color_type=3, palette=pal[:768])
+        if alpha is not None:
+            import numpy as np
+            table = np.frombuffer(pal[:768], np.uint8).reshape(256, 3)
+            rgb = table[np.frombuffer(px[:w * h], np.uint8)].tobytes()
+            out["data"] = png_encode(
+                w, h, _compose_rgba(rgb, 3, alpha, w, h), color_type=6)
+        else:
+            out["data"] = png_encode(w, h, px, color_type=3,
+                                     palette=pal[:768])
     else:
+        raw_scaled = px
         if kind != "lab" and not _is_default_decode(dec, bpc, ncomp, kind):
             px = _apply_decode(px, dec, bpc, ncomp, raw_domain=False)
+        # opacity: an explicit /SMask wins; else a color-key /Mask range
+        # evaluated on the RAW components (reference fillOpacity order)
+        alpha = _smask_alpha(fetch(d.get("SMask")), xref, w, h)
+        if alpha is None:
+            alpha = _color_key_alpha(d, fetch, raw_scaled, ncomp, bpc,
+                                     w, h)
         if kind == "sep":
             tint, base_kind, base_n = palette
             px = _separation_to_base(px, ncomp, tint, base_n)
@@ -516,6 +615,11 @@ def materialize_image(source, xref) -> dict:
         elif kind == "lab":
             px = _lab_to_rgb(px, palette)
         out["mime"] = "image/png"
-        out["data"] = png_encode(w, h, px,
-                                 color_type=0 if kind == "gray" else 2)
+        if alpha is not None:
+            out["data"] = png_encode(
+                w, h, _compose_rgba(px, 1 if kind == "gray" else 3,
+                                    alpha, w, h), color_type=6)
+        else:
+            out["data"] = png_encode(w, h, px,
+                                     color_type=0 if kind == "gray" else 2)
     return out

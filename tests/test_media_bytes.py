@@ -291,3 +291,85 @@ def test_lab_image_materializes_rgb_png():
     pixels = raw[1:13]
     assert pixels == _lab_to_rgb(
         lab, (0.9505, 1.0, 1.0888, -100.0, 100.0, -100.0, 100.0))
+
+
+# ---- opacity: /SMask and color-key /Mask (reference fillOpacity) ----------
+
+def _rgba_pixels(png: bytes, w: int, h: int) -> bytes:
+    chunks = _parse_png(png)
+    ihdr = chunks[b"IHDR"][0]
+    assert ihdr[9] == 6, "expected RGBA"
+    raw = zlib.decompress(b"".join(chunks[b"IDAT"]))
+    row = w * 4
+    return b"".join(raw[y * (row + 1) + 1:(y + 1) * (row + 1)]
+                    for y in range(h))
+
+
+def test_smask_composites_alpha():
+    import zlib as _z
+    rgb = bytes(range(8 * 4 * 3 % 256 or 1)) if False else \
+        bytes((i * 7) % 256 for i in range(8 * 4 * 3))
+    alpha = bytes((i * 11) % 256 for i in range(8 * 4))
+    rgb_payload = _z.compress(rgb)
+    a_payload = _z.compress(alpha)
+    img = (b"<< /Type /XObject /Subtype /Image /Width 8 /Height 4 "
+           b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+           b"/SMask 6 0 R /Filter /FlateDecode "
+           b"/Length %d >>\nstream\n" % len(rgb_payload) + rgb_payload
+           + b"\nendstream")
+    smask = (b"<< /Type /XObject /Subtype /Image /Width 8 /Height 4 "
+             b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+             b"/Filter /FlateDecode /Length %d >>\nstream\n"
+             % len(a_payload) + a_payload + b"\nendstream")
+    content = b"q 8 0 0 4 0 0 cm /Im1 Do Q"
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 100 100] "
+            b"/Resources << /XObject << /Im1 5 0 R >> >> /Contents 4 0 R >>"),
+        4: b"<< /Length %d >>\nstream\n" % len(content) + content
+           + b"\nendstream",
+        5: img,
+        6: smask,
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(objects[num])
+        out.extend(b"\nendobj\n")
+    xref_off = len(out)
+    out.extend(b"xref\n0 7\n0000000000 65535 f \n")
+    for num in range(1, 7):
+        out.extend(b"%010d 00000 n \n" % offsets[num])
+    out.extend(b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n"
+               b"%d\n%%%%EOF\n" % xref_off)
+    media = extract_media(bytes(out))
+    base = next(m for m in media if m["media_ref"].startswith("img"))
+    assert base["mime"] == "image/png"
+    got = _rgba_pixels(base["data"], 8, 4)
+    expect = bytearray()
+    for i in range(32):
+        expect += rgb[i * 3:i * 3 + 3]
+        expect.append(alpha[i])
+    assert got == bytes(expect)
+
+
+def test_color_key_mask_zeroes_alpha():
+    import zlib as _z
+    samples = bytes([10, 100, 10, 200])        # gray 4x1
+    payload = _z.compress(samples)
+    img = (b"<< /Type /XObject /Subtype /Image /Width 4 /Height 1 "
+           b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+           b"/Mask [5 15] /Filter /FlateDecode "
+           b"/Length %d >>\nstream\n" % len(payload) + payload
+           + b"\nendstream")
+    media = extract_media(_mini_pdf(img))
+    m = media[0]
+    assert m["mime"] == "image/png"
+    got = _rgba_pixels(m["data"], 4, 1)
+    # samples 10 fall in [5,15] -> alpha 0; others opaque
+    expect = bytes([10, 10, 10, 0, 100, 100, 100, 255,
+                    10, 10, 10, 0, 200, 200, 200, 255])
+    assert got == expect
