@@ -492,6 +492,26 @@ def _color_key_alpha(d: dict, fetch, raw_px: bytes, ncomp: int,
     return np.where(inside, 0, 255).astype(np.uint8).tobytes()
 
 
+def _opacity_alpha(d: dict, fetch, xref, w: int, h: int,
+                   raw_scaled: bytes | None, ncomp: int,
+                   bpc: int) -> bytes | None:
+    """All three opacity sources in the reference's precedence: /SMask
+    stream, stencil /Mask stream (sample 1 = don't paint under the
+    default decode, so alpha inverts), color-key /Mask range array."""
+    alpha = _smask_alpha(fetch(d.get("SMask")), xref, w, h)
+    if alpha is not None:
+        return alpha
+    mask_obj = fetch(d.get("Mask"))
+    if isinstance(mask_obj, Stream):
+        m = _smask_alpha(mask_obj, xref, w, h)
+        if m is not None:
+            return bytes(255 - v for v in m)
+        return None
+    if raw_scaled is not None:
+        return _color_key_alpha(d, fetch, raw_scaled, ncomp, bpc, w, h)
+    return None
+
+
 def materialize_image(source, xref) -> dict:
     """One media source (from PageInterpreter.media_sink) -> bytes.
 
@@ -585,7 +605,7 @@ def materialize_image(source, xref) -> dict:
         if not _is_default_decode(dec, bpc, ncomp, kind):
             px = _apply_decode(px, dec, bpc, ncomp, raw_domain=True)
         pal = (palette or b"") + b"\x00" * (768 - len(palette or b""))
-        alpha = _smask_alpha(fetch(d.get("SMask")), xref, w, h)
+        alpha = _opacity_alpha(d, fetch, xref, w, h, None, 1, bpc)
         out["mime"] = "image/png"
         if alpha is not None:
             import numpy as np
@@ -600,12 +620,8 @@ def materialize_image(source, xref) -> dict:
         raw_scaled = px
         if kind != "lab" and not _is_default_decode(dec, bpc, ncomp, kind):
             px = _apply_decode(px, dec, bpc, ncomp, raw_domain=False)
-        # opacity: an explicit /SMask wins; else a color-key /Mask range
-        # evaluated on the RAW components (reference fillOpacity order)
-        alpha = _smask_alpha(fetch(d.get("SMask")), xref, w, h)
-        if alpha is None:
-            alpha = _color_key_alpha(d, fetch, raw_scaled, ncomp, bpc,
-                                     w, h)
+        alpha = _opacity_alpha(d, fetch, xref, w, h, raw_scaled, ncomp,
+                               bpc)
         if kind == "sep":
             tint, base_kind, base_n = palette
             px = _separation_to_base(px, ncomp, tint, base_n)

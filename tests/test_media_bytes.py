@@ -373,3 +373,53 @@ def test_color_key_mask_zeroes_alpha():
     expect = bytes([10, 10, 10, 0, 100, 100, 100, 255,
                     10, 10, 10, 0, 200, 200, 200, 255])
     assert got == expect
+
+
+def test_stencil_mask_stream_inverts_alpha():
+    import zlib as _z
+    gray = bytes([50, 100, 150, 200])
+    # stencil bits 1,0,1,0 -> masked, painted, masked, painted
+    maskbits = bytes([0b10100000])
+    g_payload = _z.compress(gray)
+    m_payload = _z.compress(maskbits)
+    img = (b"<< /Type /XObject /Subtype /Image /Width 4 /Height 1 "
+           b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+           b"/Mask 6 0 R /Filter /FlateDecode "
+           b"/Length %d >>\nstream\n" % len(g_payload) + g_payload
+           + b"\nendstream")
+    mask = (b"<< /Type /XObject /Subtype /Image /Width 4 /Height 1 "
+            b"/ImageMask true /BitsPerComponent 1 "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n"
+            % len(m_payload) + m_payload + b"\nendstream")
+    content = b"q 4 0 0 1 0 0 cm /Im1 Do Q"
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 100 100] "
+            b"/Resources << /XObject << /Im1 5 0 R >> >> /Contents 4 0 R >>"),
+        4: b"<< /Length %d >>\nstream\n" % len(content) + content
+           + b"\nendstream",
+        5: img,
+        6: mask,
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(objects[num])
+        out.extend(b"\nendobj\n")
+    xref_off = len(out)
+    out.extend(b"xref\n0 7\n0000000000 65535 f \n")
+    for num in range(1, 7):
+        out.extend(b"%010d 00000 n \n" % offsets[num])
+    out.extend(b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n"
+               b"%d\n%%%%EOF\n" % xref_off)
+    media = extract_media(bytes(out))
+    base = next(m for m in media if m["media_ref"].startswith("img"))
+    got = _rgba_pixels(base["data"], 4, 1)
+    # ImageMask bit 1 scales to 255 in the mask PNG; stencil semantics
+    # invert: bit 1 = don't paint = alpha 0
+    expect = bytes([50, 50, 50, 0, 100, 100, 100, 255,
+                    150, 150, 150, 0, 200, 200, 200, 255])
+    assert got == expect
