@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top_per_priority": table_ops.orders_top_per_priority,
         "events_user_gaps": table_ops.events_user_gaps,
         "contamination_check": table_ops.contamination_check,
+        "customer_order_distribution": table_ops.customer_order_distribution,
     }
 
 
@@ -853,5 +854,14 @@ def oracle_sql() -> dict[str, str]:
                    len(list_intersect(s, b.gs))::BIGINT AS n_hits
             FROM sh, bench b
             WHERE doc_id % 20 != 0 AND len(list_intersect(s, b.gs)) > 0
+        """,
+        "customer_order_distribution": """
+            SELECT n_orders, count(*) AS n_customers FROM (
+                SELECT c.c_custkey,
+                       count(o.o_orderkey)::BIGINT AS n_orders
+                FROM customer c
+                LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                GROUP BY c.c_custkey)
+            GROUP BY n_orders
         """,
     }

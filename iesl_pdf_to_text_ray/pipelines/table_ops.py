@@ -1680,3 +1680,38 @@ def contamination_check(sf_dir: str, bench_mod: int = 20):
                         schema=_CONTAM_SCHEMA)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+_Q13_PARTIAL_SCHEMA = pa.schema([
+    ("n_orders", pa.int64()), ("part_n", pa.int64())])
+
+
+def customer_order_distribution(sf_dir: str, n_parts: int = 16):
+    """TPC-H Q13: how many customers placed exactly N orders, including
+    the zero-order customers — the LEFT-join shape (anti-join cousins
+    can't see the zeros).  Per-customer counts fold inside the join
+    partition (one shuffle), the distribution is a tiny second groupby
+    over O(distinct counts) rows."""
+    from .joins import hash_join
+    cust = _read_sized(sf_dir, "customer", columns=["c_custkey"])
+    orders = _read_sized(sf_dir, "orders",
+                         columns=["o_custkey", "o_orderkey"])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        per_cust = df.groupby("c_custkey")["o_orderkey"].count()
+        dist = per_cust.value_counts().reset_index()
+        dist.columns = ["n_orders", "part_n"]
+        return dist
+
+    ds = hash_join(cust, orders, "c_custkey", "o_custkey", how="left",
+                   n_parts=n_parts, merge_post=fold,
+                   post_schema=_Q13_PARTIAL_SCHEMA)
+    from ray.data.aggregate import Sum
+    ds = ds.groupby("n_orders").aggregate(Sum("part_n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_orders": batch.column("n_orders").cast(pa.int64()),
+            "n_customers": batch.column("sum(part_n)").cast(pa.int64())})
+
+    return ds.map_batches(rename, batch_format="pyarrow")

@@ -245,3 +245,22 @@ def test_contamination_check_flags_planted_overlap(ray_session, tmp_path):
     out = _pd(contamination_check(str(d))).set_index("doc_id")
     assert out.loc[1, "n_hits"] == 2
     assert 2 not in out.index
+
+
+def test_customer_order_distribution_matches_duckdb(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops import (
+        customer_order_distribution)
+    import __ray_entry__ as E
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    gold = (con.execute(E.oracle_sql()["customer_order_distribution"])
+            .fetchdf().sort_values("n_orders").reset_index(drop=True))
+    mine = (_pd(customer_order_distribution(SF)).sort_values("n_orders")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        mine.astype({"n_orders": "int64", "n_customers": "int64"}),
+        gold.astype({"n_orders": "int64", "n_customers": "int64"}))
+    # the zero-order bucket must exist (the LEFT-join point of the query)
+    assert 0 in set(mine["n_orders"])
