@@ -262,5 +262,23 @@ def test_customer_order_distribution_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         mine.astype({"n_orders": "int64", "n_customers": "int64"}),
         gold.astype({"n_orders": "int64", "n_customers": "int64"}))
-    # the zero-order bucket must exist (the LEFT-join point of the query)
-    assert 0 in set(mine["n_orders"])
+
+
+def test_customer_order_distribution_counts_zero_orders(ray_session,
+                                                        tmp_path):
+    """The LEFT-join point of Q13: customers without orders land in the
+    zero bucket (sf0.001 happens to have none, so plant some)."""
+    from iesl_pdf_to_text_ray.pipelines.table_ops import (
+        customer_order_distribution)
+    d = tmp_path / "t"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+        str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 3], pa.int64()),
+        "o_orderkey": pa.array([10, 11, 12], pa.int64())}),
+        str(d / "orders.parquet"))
+    out = (_pd(customer_order_distribution(str(d)))
+           .set_index("n_orders")["n_customers"])
+    assert out[0] == 2 and out[1] == 1 and out[2] == 1
