@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_gaps": table_ops.events_user_gaps,
         "contamination_check": table_ops.contamination_check,
         "customer_order_distribution": table_ops.customer_order_distribution,
+        "weighted_sample": table_ops.weighted_sample,
     }
 
 
@@ -863,5 +864,12 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN orders o ON o.o_custkey = c.c_custkey
                 GROUP BY c.c_custkey)
             GROUP BY n_orders
+        """,
+        "weighted_sample": """
+            WITH tot AS (SELECT sum(n_chars)::DOUBLE AS t FROM documents)
+            SELECT doc_id, lang, n_chars
+            FROM documents, tot
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                  < (n_chars * 100.0 / t) * 4294967296.0
         """,
     }

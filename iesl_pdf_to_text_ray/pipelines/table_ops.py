@@ -1715,3 +1715,26 @@ def customer_order_distribution(sf_dir: str, n_parts: int = 16):
             "n_customers": batch.column("sum(part_n)").cast(pa.int64())})
 
     return ds.map_batches(rename, batch_format="pyarrow")
+
+
+def weighted_sample(sf_dir: str, target: int = 100):
+    """Deterministic size-weighted sampling: documents kept with
+    probability proportional to n_chars (long documents carry more
+    training tokens), expected sample size ~= target.  Phase 1 is one
+    tiny Sum aggregate (total weight, broadcast as a scalar); phase 2 a
+    streaming hash filter — keep doc iff md5-bucket/2^32 <
+    n_chars * target / total.  Reproducible on any engine, like
+    sample_documents."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    total = ds.sum("n_chars")
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        chars = batch.column("n_chars").to_pylist()
+        keep = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+            < (c * target / total) * 4294967296.0
+            for d, c in zip(ids, chars)]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

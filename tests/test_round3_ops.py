@@ -282,3 +282,19 @@ def test_customer_order_distribution_counts_zero_orders(ray_session,
     out = (_pd(customer_order_distribution(str(d)))
            .set_index("n_orders")["n_customers"])
     assert out[0] == 2 and out[1] == 1 and out[2] == 1
+
+
+def test_weighted_sample_prefers_long_docs(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops import weighted_sample
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    out = _pd(weighted_sample(SF))
+    # expected size ~ target; uniform md5 buckets -> binomial-ish bound
+    assert 100 * 0.5 <= len(out) <= 100 * 1.6
+    # weighting: mean length of sampled docs exceeds the corpus mean
+    assert out["n_chars"].mean() > docs["n_chars"].mean()
+    # deterministic
+    again = _pd(weighted_sample(SF))
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))
