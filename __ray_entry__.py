@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_check": table_ops.contamination_check,
         "customer_order_distribution": table_ops.customer_order_distribution,
         "weighted_sample": table_ops.weighted_sample,
+        "orders_with_bulk_items": table_ops.orders_with_bulk_items,
     }
 
 
@@ -871,5 +872,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents, tot
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
                   < (n_chars * 100.0 / t) * 4294967296.0
+        """,
+        "orders_with_bulk_items": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_quantity > 45)
+            GROUP BY o_orderpriority
         """,
     }

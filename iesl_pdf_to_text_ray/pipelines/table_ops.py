@@ -1738,3 +1738,49 @@ def weighted_sample(sf_dir: str, target: int = 100):
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+_Q4_PARTIAL_SCHEMA = pa.schema([
+    ("o_orderpriority", pa.string()), ("part_n", pa.int64())])
+
+
+def orders_with_bulk_items(sf_dir: str, min_qty: float = 45.0,
+                           n_parts: int = 16):
+    """TPC-H Q4 shape: orders having at least one bulk line item
+    (quantity > min_qty), counted per priority — the SEMI-join
+    existence query.  The right side filters and shrinks to per-batch
+    distinct keys before the shuffle; the per-priority count folds
+    inside the join partition."""
+    from .joins import hash_join
+    orders = _read_sized(sf_dir, "orders",
+                         columns=["o_orderkey", "o_orderpriority"])
+    items = _read_sized(sf_dir, "lineitem",
+                        columns=["l_orderkey", "l_quantity"])
+
+    _KEYS_SCHEMA = pa.schema([("l_orderkey", pa.int64())])
+
+    def bulk_keys(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = batch.filter(pc.greater(batch.column("l_quantity"),
+                                       min_qty))
+        u = np.unique(np.asarray(keep.column("l_orderkey")))
+        return pa.table({"l_orderkey": u}, schema=_KEYS_SCHEMA)
+
+    items = items.map_batches(bulk_keys, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority").size().reset_index(name="part_n")
+        return g
+
+    ds = hash_join(orders, items, "o_orderkey", "l_orderkey", how="semi",
+                   n_parts=n_parts, merge_post=fold,
+                   post_schema=_Q4_PARTIAL_SCHEMA)
+    from ray.data.aggregate import Sum
+    ds = ds.groupby("o_orderpriority").aggregate(Sum("part_n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": batch.column("o_orderpriority"),
+            "n_orders": batch.column("sum(part_n)").cast(pa.int64())})
+
+    return ds.map_batches(rename, batch_format="pyarrow")
