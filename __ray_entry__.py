@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": table_ops.customer_order_distribution,
         "weighted_sample": table_ops.weighted_sample,
         "orders_with_bulk_items": table_ops.orders_with_bulk_items,
+        "pricing_quantiles_sketch": table_ops.pricing_quantiles_sketch,
     }
 
 
@@ -374,6 +375,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 #   ann_ivf — k-means coarse quantizer (iterative, not SQL-expressible);
 #     validated by recall-vs-bruteforce pytest, and ann_bruteforce (same
 #     kernel, exhaustive) has a full oracle.
+#   pricing_quantiles_sketch — mergeable equi-depth summary (approximate
+#     by design, like the HLL sketch); accuracy vs exact quantiles is
+#     pinned in tests/test_round3_ops.py.
 #   ann_quantized — int8 scalar quantization; the quantization rounding
 #     (numpy half-to-even) is not reproducible in DuckDB SQL (round is
 #     half-away), so cross-engine value equality cannot hold; recall vs

@@ -1784,3 +1784,91 @@ def orders_with_bulk_items(sf_dir: str, min_qty: float = 45.0,
             "n_orders": batch.column("sum(part_n)").cast(pa.int64())})
 
     return ds.map_batches(rename, batch_format="pyarrow")
+
+
+_QSKETCH_PARTIAL_SCHEMA = pa.schema([
+    ("o_orderpriority", pa.string()), ("qs", pa.string()),
+    ("ws", pa.string())])
+_QSKETCH_SCHEMA = pa.schema([
+    ("o_orderpriority", pa.string()), ("quantile", pa.float64()),
+    ("value", pa.float64())])
+
+_QSKETCH_K = 256
+
+
+def _compress_summary(vals: np.ndarray, wts: np.ndarray, k: int):
+    """Equi-depth compression of a weighted sorted summary to <= k
+    centroids (deterministic — no randomness, so results are stable
+    across runs and partitionings of equal order)."""
+    order = np.argsort(vals, kind="mergesort")
+    vals = vals[order]
+    wts = wts[order]
+    if len(vals) <= k:
+        return vals, wts
+    cum = np.cumsum(wts)
+    total = cum[-1]
+    bounds = np.linspace(0, total, k + 1)
+    idx = np.searchsorted(cum, bounds[1:-1], side="left")
+    out_v = []
+    out_w = []
+    start = 0
+    for end in list(idx) + [len(vals)]:
+        end = max(end, start + 1)
+        if start >= len(vals):
+            break
+        w = wts[start:end]
+        out_v.append(float(np.average(vals[start:end], weights=w)))
+        out_w.append(float(w.sum()))
+        start = end
+    return np.asarray(out_v), np.asarray(out_w)
+
+
+def pricing_quantiles_sketch(sf_dir: str, qs=(0.5, 0.9, 0.99)):
+    """Approximate per-group quantiles of a CONTINUOUS column via a
+    mergeable equi-depth summary — the scale path where the exact
+    value-count method (quantile_stats) degenerates because doubles are
+    all distinct.  Per-batch summaries are <= K centroids; the shuffle
+    carries O(batches x groups x K) rows regardless of table size, like
+    the HLL sketch for distinct counts.  Deterministic; accuracy vs the
+    exact quantiles is pinned in tests (rows-only for the driver: the
+    approximation is not SQL-reproducible)."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = {"o_orderpriority": [], "qs": [], "ws": []}
+        for key, sub in df.groupby("o_orderpriority"):
+            v = sub["o_totalprice"].to_numpy(dtype=np.float64)
+            cv, cw = _compress_summary(v, np.ones_like(v), _QSKETCH_K)
+            rows["o_orderpriority"].append(key)
+            rows["qs"].append(",".join(repr(x) for x in cv))
+            rows["ws"].append(",".join(repr(x) for x in cw))
+        return pa.table(rows, schema=_QSKETCH_PARTIAL_SCHEMA)
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        vals = []
+        wts = []
+        for q, w in zip(group.column("qs").to_pylist(),
+                        group.column("ws").to_pylist()):
+            vals.append(np.array([float(x) for x in q.split(",")]))
+            wts.append(np.array([float(x) for x in w.split(",")]))
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        v, w = _compress_summary(v, w, _QSKETCH_K)
+        cum = np.cumsum(w)
+        total = cum[-1]
+        key = group.column("o_orderpriority")[0].as_py()
+        rows = {"o_orderpriority": [], "quantile": [], "value": []}
+        for q in qs:
+            i = int(np.searchsorted(cum, q * total))
+            i = min(i, len(v) - 1)
+            rows["o_orderpriority"].append(key)
+            rows["quantile"].append(float(q))
+            rows["value"].append(float(v[i]))
+        return pa.table(rows, schema=_QSKETCH_SCHEMA)
+
+    return ds.groupby("o_orderpriority").map_groups(
+        merge, batch_format="pyarrow")

@@ -298,3 +298,27 @@ def test_weighted_sample_prefers_long_docs(ray_session):
     pd.testing.assert_frame_equal(
         out.sort_values("doc_id").reset_index(drop=True),
         again.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_pricing_quantiles_sketch_accuracy(ray_session):
+    """The sketch's per-group quantiles must land within 2% of the
+    value range of the exact quantiles."""
+    from iesl_pdf_to_text_ray.pipelines.table_ops import (
+        pricing_quantiles_sketch)
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderpriority",
+                                    "o_totalprice"]).to_pandas()
+    out = _pd(pricing_quantiles_sketch(SF))
+    for (key, q), sub in out.groupby(["o_orderpriority", "quantile"]):
+        vals = orders[orders["o_orderpriority"] == key]["o_totalprice"]
+        exact = vals.quantile(q)
+        span = vals.max() - vals.min()
+        got = sub["value"].iloc[0]
+        assert abs(got - exact) <= 0.02 * span, (key, q, got, exact)
+    # determinism
+    again = _pd(pricing_quantiles_sketch(SF))
+    pd.testing.assert_frame_equal(
+        out.sort_values(["o_orderpriority", "quantile"])
+        .reset_index(drop=True),
+        again.sort_values(["o_orderpriority", "quantile"])
+        .reset_index(drop=True))
