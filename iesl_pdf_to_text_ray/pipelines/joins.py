@@ -46,13 +46,27 @@ def _part_of(col: pa.ChunkedArray, n_parts: int) -> np.ndarray:
     return (h % np.uint64(n_parts)).astype(np.int32)
 
 
+def _arrow_type(t) -> pa.DataType:
+    """Ray's Dataset.schema().types may hold Python/numpy types (e.g. for
+    from_pandas object columns) — coerce to a pyarrow DataType."""
+    if isinstance(t, pa.DataType):
+        return t
+    if isinstance(t, np.dtype):
+        return pa.from_numpy_dtype(t)
+    return {str: pa.string(), bytes: pa.binary(), int: pa.int64(),
+            float: pa.float64(), bool: pa.bool_(),
+            object: pa.string()}[t]
+
+
 def _flat_union(left, right, left_key: str, right_key: str, n_parts: int):
     """Tag + widen both sides to one flat schema; returns (tagged_ds,
     l_names, r_names, out_schema)."""
     l_schema = left.schema()
     r_schema = right.schema()
-    l_fields = list(zip(l_schema.names, l_schema.types))
-    r_fields = [(n, t) for n, t in zip(r_schema.names, r_schema.types)
+    l_fields = [(n, _arrow_type(t))
+                for n, t in zip(l_schema.names, l_schema.types)]
+    r_fields = [(n, _arrow_type(t))
+                for n, t in zip(r_schema.names, r_schema.types)
                 if n not in l_schema.names]
     out_schema = pa.schema(l_fields + r_fields)
 
@@ -110,8 +124,12 @@ def hash_join(left, right, left_on: str, right_on: str, *,
         ldf, rdf = _split_sides(group, l_names, r_names)
         if how in ("anti", "semi"):
             # existence check: key membership is exact because the hash
-            # partitioning co-locates every occurrence of a key
-            present = ldf[left_on].isin(rdf[right_on].unique())
+            # partitioning co-locates every occurrence of a key.
+            # NOT-EXISTS null semantics: NULL = NULL never matches, so a
+            # null left key is never "present" (pandas isin would treat
+            # NaN as matching NaN — drop nulls from both sides' keys).
+            present = (ldf[left_on].notna()
+                       & ldf[left_on].isin(rdf[right_on].dropna().unique()))
             out = ldf[~present] if how == "anti" else ldf[present]
         else:
             out = ldf.merge(rdf, left_on=left_on, right_on=right_on, how=how)

@@ -76,6 +76,43 @@ _REVENUE_PARTIAL_SCHEMA = pa.schema([
     ("part_rev", pa.float64())])
 
 
+def _md5_bucket32(ids) -> np.ndarray:
+    """uint32 md5 bucket per id: first 4 digest bytes, big-endian —
+    identical to ``int(md5(str(id)).hexdigest()[:8], 16)`` (the oracle-
+    pinned rule) but skips hex-string formatting and runs one tight pass
+    per batch instead of per-row Python in the filter expression."""
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(md5(str(d).encode()).digest()[:4], "big")
+         for d in ids),
+        dtype=np.uint64, count=len(ids))
+
+
+def _global_topk(ds, keys: list, ascending: list, k: int,
+                 rename_fn=None):
+    """Global top-k without a global sort: per-batch local top-k (a
+    lossless partial — any global winner is a winner of its batch), then
+    ONE tiny merge over <= k rows per block.  Replaces
+    ``ds.sort(...).limit(k)``, whose all-to-all sort moves the entire
+    (possibly 10^10-row) table to keep k rows."""
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(keys, ascending=ascending) \
+            .head(k)
+        return _pd_table(df, batch.schema)
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(keys, ascending=ascending) \
+            .head(k)
+        if rename_fn is not None:
+            df = rename_fn(df)
+        return _pd_table(df)
+
+    ds = ds.map_batches(local, batch_format="pyarrow")
+    # repartition(1) moves <= k x n_blocks rows — constant-size exchange
+    return ds.repartition(1).map_batches(final, batch_format="pyarrow",
+                                         batch_size=None)
+
+
 # ---------------------------------------------------------------- documents
 
 def dedup_exact(sf_dir: str):
@@ -116,8 +153,7 @@ def lang_stats(sf_dir: str):
 
 def top_longest(sf_dir: str, k: int = 20):
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
-    ds = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
-    return ds
+    return _global_topk(ds, ["n_chars", "doc_id"], [False, True], k)
 
 
 def token_stats(sf_dir: str):
@@ -920,9 +956,7 @@ def sample_documents(sf_dir: str, pct: int = 10):
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
 
     def pick(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        keep = [int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
-                % 100 < pct for d in ids]
+        keep = _md5_bucket32(batch.column("doc_id").to_pylist()) % 100 < pct
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(pick, batch_format="pyarrow")
@@ -1051,7 +1085,10 @@ def events_range_pairs(sf_dir: str, window_sec: int = 60):
         user = np.asarray(group.column("user_id"))
         ts = np.asarray(group.column("ts_us"))
         ids = np.asarray(group.column("event_id"))
-        order = np.lexsort((ts, ids, user, bucket))
+        # lexsort: LAST key is primary -> sort by (bucket, user, ts) with
+        # event_id as deterministic tie-break; ts MUST be the within-run
+        # sort key or the searchsorted window scan below is wrong.
+        order = np.lexsort((ids, ts, user, bucket))
         b, u, t, e = bucket[order], user[order], ts[order], ids[order]
         n = len(b)
         starts = np.flatnonzero(np.concatenate(
@@ -1411,7 +1448,9 @@ def ngram_topk(sf_dir: str, k: int = 20):
                          "n": batch.column("sum(part_n)").cast(pa.int64())})
 
     ds = ds.map_batches(rename, batch_format="pyarrow")
-    return ds.sort(["n", "bigram"], descending=[True, False]).limit(k)
+    # post-groupby counts are final, so per-block top-k is lossless —
+    # no global sort over the O(vocabulary)-row distinct-bigram table
+    return _global_topk(ds, ["n", "bigram"], [False, True], k)
 
 
 def stratified_sample(sf_dir: str, target_per_lang: int = 50):
@@ -1428,11 +1467,9 @@ def stratified_sample(sf_dir: str, target_per_lang: int = 50):
             for lang, n in counts.items()}
 
     def pick(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        langs = batch.column("lang").to_pylist()
-        keep = [int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
-                % 10000 < rate[lg] for d, lg in zip(ids, langs)]
-        return batch.filter(pa.array(keep))
+        bucket = _md5_bucket32(batch.column("doc_id").to_pylist()) % 10000
+        lang_rate = batch.column("lang").to_pandas().map(rate).to_numpy()
+        return batch.filter(pa.array(bucket < lang_rate))
 
     return ds.map_batches(pick, batch_format="pyarrow")
 
@@ -1724,18 +1761,19 @@ def weighted_sample(sf_dir: str, target: int = 100):
     tiny Sum aggregate (total weight, broadcast as a scalar); phase 2 a
     streaming hash filter — keep doc iff md5-bucket/2^32 <
     n_chars * target / total.  Reproducible on any engine, like
-    sample_documents."""
+    sample_documents.  Note (one-pass Bernoulli cap): a document with
+    n_chars > total/target has keep probability min(1, ...) = 1, so
+    inclusion is proportional to n_chars only up to that cap and the
+    expected sample size drifts slightly below ``target`` on skewed
+    corpora — inherent to single-pass weighted sampling."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
     total = ds.sum("n_chars")
 
     def pick(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        chars = batch.column("n_chars").to_pylist()
-        keep = [
-            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
-            < (c * target / total) * 4294967296.0
-            for d, c in zip(ids, chars)]
-        return batch.filter(pa.array(keep))
+        bucket = _md5_bucket32(batch.column("doc_id").to_pylist())
+        chars = np.asarray(batch.column("n_chars"), dtype=np.float64)
+        thresh = (chars * target / total) * 4294967296.0
+        return batch.filter(pa.array(bucket < thresh))
 
     return ds.map_batches(pick, batch_format="pyarrow")
 
