@@ -9,8 +9,10 @@ pairs are verified.  All hashing is seeded and deterministic.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 N_PERM = 64          # minhash permutations
@@ -121,52 +123,93 @@ def band_explode_batch(batch: pa.Table) -> pa.Table:
 N_BUCKET_PARTS = 64   # coarse hash partitions for bucket-local pair search
 
 
-def bucket_pairs_partition(group: pa.Table,
-                           threshold: float = 0.5) -> pa.Table:
+MAX_BUCKET = 1024     # hot-bucket cap for the pair-verify kernels
+_LOG = logging.getLogger(__name__)
+
+
+def _run_pairs(rows: np.ndarray, run_starts: np.ndarray,
+               run_ends: np.ndarray, max_bucket: int, what: str
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized candidate-pair expansion over lexsort runs (buckets):
+    for each run emit all within-run row pairs (a before b in run
+    order) via one triu_indices per multi-row run — no nested Python
+    loops over rows.  A run larger than ``max_bucket`` (a stop-shingle /
+    stop-band bucket: non-discriminative, O(b^2) candidates) degrades to
+    a CHAIN of consecutive rows (O(b) pairs, keeps the bucket connected
+    for component-style dedup) and logs what was dropped."""
+    lens = run_ends - run_starts
+    multi = np.flatnonzero(lens >= 2)
+    a_parts: list = []
+    b_parts: list = []
+    for r in multi:
+        s, e = int(run_starts[r]), int(run_ends[r])
+        bsz = e - s
+        if bsz > max_bucket:
+            _LOG.warning(
+                "hot %s bucket: %d rows > cap %d — degrading to chain "
+                "pairs (%d instead of %d candidates)", what, bsz,
+                max_bucket, bsz - 1, bsz * (bsz - 1) // 2)
+            a_parts.append(rows[s:e - 1])
+            b_parts.append(rows[s + 1:e])
+        else:
+            x, y = np.triu_indices(bsz, 1)
+            a_parts.append(rows[s + x])
+            b_parts.append(rows[s + y])
+    if not a_parts:
+        z = np.empty(0, dtype=rows.dtype)
+        return z, z
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
+def _dedup_pairs(a_rows: np.ndarray, b_rows: np.ndarray, doc_ids
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Drop same-doc pairs and cross-bucket duplicates (C-level)."""
+    da, db = doc_ids[a_rows], doc_ids[b_rows]
+    keep = da != db
+    a_rows, b_rows = a_rows[keep], b_rows[keep]
+    dup = pd.DataFrame({"a": doc_ids[a_rows],
+                        "b": doc_ids[b_rows]}).duplicated().to_numpy()
+    return a_rows[~dup], b_rows[~dup]
+
+
+def bucket_pairs_partition(group: pa.Table, threshold: float = 0.5,
+                           max_bucket: int = MAX_BUCKET) -> pa.Table:
     """One coarse partition of LSH buckets (all rows whose band_hash maps
     to this partition).  Buckets are recovered as *runs* of a vectorized
-    lexsort — one Python call per partition instead of one per bucket,
-    which matters when almost every bucket is a singleton (the common
-    case: at sf0.01 there are ~8000 buckets and ~25 real pairs)."""
+    lexsort; candidate pairs expand via triu_indices per run; signature
+    agreement is verified for ALL candidates in one matrix comparison —
+    no per-pair Python.  Hot buckets degrade to chains (see _run_pairs)."""
     n = group.num_rows
+    id_type = group.column("doc_id").type
+    empty = pa.table({"doc_a": pa.array([], id_type),
+                      "doc_b": pa.array([], id_type),
+                      "jaccard_est": pa.array([], pa.float64())})
+    if n < 2:
+        return empty
     bands = np.asarray(group.column("band"), dtype=np.int64)
     hashes = np.asarray(group.column("band_hash"), dtype=np.int64)
-    doc_ids = group.column("doc_id").to_pylist()
-    order = np.lexsort((bands, hashes))
+    doc_ids = group.column("doc_id").to_pandas().to_numpy()
+    order = np.lexsort((doc_ids, bands, hashes))
     bs, hs = bands[order], hashes[order]
     run_starts = np.flatnonzero(
         np.concatenate(([True], (bs[1:] != bs[:-1]) | (hs[1:] != hs[:-1]))))
     run_ends = np.concatenate((run_starts[1:], [n]))
-    a_out, b_out, j_out = [], [], []
-    seen = set()
-    sig_col = group.column("sig")
-    sig_cache: dict = {}
-    for s, e in zip(run_starts, run_ends):
-        if e - s < 2:
-            continue
-        idx = sorted(order[s:e], key=lambda i: doc_ids[i])
-        for x in range(len(idx)):
-            for y in range(x + 1, len(idx)):
-                i, j = idx[x], idx[y]
-                if doc_ids[i] == doc_ids[j]:
-                    continue
-                key = (doc_ids[i], doc_ids[j])
-                if key in seen:
-                    continue
-                seen.add(key)
-                for z in (i, j):
-                    if z not in sig_cache:
-                        sig_cache[z] = np.asarray(sig_col[z].as_py(),
-                                                  dtype=np.int64)
-                est = float(np.mean(sig_cache[i] == sig_cache[j]))
-                if est >= threshold:
-                    a_out.append(doc_ids[i])
-                    b_out.append(doc_ids[j])
-                    j_out.append(round(est, 6))
-    id_type = group.column("doc_id").type
-    return pa.table({"doc_a": pa.array(a_out, id_type),
-                     "doc_b": pa.array(b_out, id_type),
-                     "jaccard_est": pa.array(j_out, pa.float64())})
+    a_rows, b_rows = _run_pairs(order, run_starts, run_ends,
+                                max_bucket, "minhash band")
+    if len(a_rows) == 0:
+        return empty
+    a_rows, b_rows = _dedup_pairs(a_rows, b_rows, doc_ids)
+    if len(a_rows) == 0:
+        return empty
+    sig_list = group.column("sig").combine_chunks()
+    flat = np.asarray(sig_list.flatten(), dtype=np.int64)
+    S = flat.reshape(n, flat.size // n)
+    est = np.round((S[a_rows] == S[b_rows]).mean(axis=1), 6)
+    good = est >= threshold
+    return pa.table({
+        "doc_a": pa.array(doc_ids[a_rows[good]], id_type),
+        "doc_b": pa.array(doc_ids[b_rows[good]], id_type),
+        "jaccard_est": pa.array(est[good], pa.float64())})
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
@@ -200,6 +243,35 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
         out.append(f"{sim:016x}")
     return pa.table({"doc_id": batch.column("doc_id"),
                      "simhash": pa.array(out, pa.string())})
+
+
+def shingles_flat(texts: list, cache: dict, k: int = SHINGLE_K
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """All k-gram shingle hashes for a BATCH of texts in one vectorized
+    pass: returns flat ``(doc_idx, shingle_hash)`` arrays with shingles
+    that would cross a document boundary masked out (a doc with < k
+    tokens contributes nothing, matching the string-shingle semantics).
+    Same mix/finalizer as ``_shingles`` so hashes are comparable across
+    callers; 61-bit, collisions negligible at corpus scale."""
+    import itertools
+    toks = [t.split() if t else [] for t in texts]
+    lens = np.fromiter((len(x) for x in toks), dtype=np.int64,
+                       count=len(toks))
+    flat = list(itertools.chain.from_iterable(toks))
+    n = len(flat)
+    if n < k:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    th = _token_hashes(flat, cache)
+    m = n - k + 1
+    acc = th[0:m] * _MIX[0]
+    for j in range(1, k):
+        acc = acc + th[j:m + j] * _MIX[j % len(_MIX)]
+    acc = acc ^ (acc >> np.uint64(29))
+    acc = acc * _MIX[4]
+    sh = (acc ^ (acc >> np.uint64(32))) & _MASK61
+    doc_of = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+    valid = doc_of[0:m] == doc_of[k - 1:n]
+    return doc_of[0:m][valid], sh[valid]
 
 
 def ngram_set(text: str, k: int = SHINGLE_K) -> set:
@@ -251,48 +323,54 @@ def shingle_prefix_explode(batch: pa.Table, threshold: float = 0.4,
         "sh": pa.array(out_sets, pa.list_(pa.int64()))})
 
 
-def prefix_pairs_partition(group: pa.Table,
-                           threshold: float = 0.4) -> pa.Table:
+def prefix_pairs_partition(group: pa.Table, threshold: float = 0.4,
+                           max_bucket: int = MAX_BUCKET) -> pa.Table:
     """One prefix-join partition: rows are (doc, prefix shingles in this
-    partition, full set).  Build an inverted shingle->docs index, take
-    candidate pairs sharing a prefix shingle, verify by exact Jaccard
-    over the sorted shingle-hash arrays (61-bit; collisions negligible)."""
-    doc_ids = group.column("doc_id").to_pylist()
-    prefixes = group.column("prefix").to_pylist()
-    sh_col = group.column("sh")
-    inverted: dict[int, list[int]] = {}
-    for i, plist in enumerate(prefixes):
-        for v in plist:
-            inverted.setdefault(v, []).append(i)
-    set_cache: dict = {}
-    a_out, b_out, j_out = [], [], []
-    seen = set()
-    for docs in inverted.values():
-        if len(docs) < 2:
-            continue
-        idx = sorted(docs, key=lambda i: doc_ids[i])
-        for x in range(len(idx)):
-            for y in range(x + 1, len(idx)):
-                i, j = idx[x], idx[y]
-                if doc_ids[i] == doc_ids[j]:
-                    continue
-                key = (doc_ids[i], doc_ids[j])
-                if key in seen:
-                    continue
-                seen.add(key)
-                for z in (i, j):
-                    if z not in set_cache:
-                        set_cache[z] = np.asarray(sh_col[z].as_py(),
-                                                  dtype=np.int64)
-                si, sj = set_cache[i], set_cache[j]
-                inter = len(np.intersect1d(si, sj, assume_unique=True))
-                u = len(si) + len(sj) - inter
-                jac = inter / u if u else 0.0
-                if jac >= threshold:
-                    a_out.append(doc_ids[i])
-                    b_out.append(doc_ids[j])
-                    j_out.append(round(jac, 6))
+    partition, full set).  Candidate generation is fully vectorized:
+    explode prefixes C-level, lexsort by (shingle, doc_id), expand each
+    shingle-run's pairs via triu_indices (hot stop-shingle runs degrade
+    to chains, see _run_pairs), dedup pairs C-level; only the exact
+    Jaccard verify touches Python — one numpy intersect per *surviving
+    candidate* (prefix filtering bounds these), never O(bucket^2)."""
+    n = group.num_rows
     id_type = group.column("doc_id").type
+    empty = pa.table({"doc_a": pa.array([], id_type),
+                      "doc_b": pa.array([], id_type),
+                      "jaccard": pa.array([], pa.float64())})
+    if n < 2:
+        return empty
+    doc_ids = group.column("doc_id").to_pandas().to_numpy()
+    pl = group.column("prefix").combine_chunks()
+    pflat = np.asarray(pl.flatten(), dtype=np.int64)
+    plens = np.asarray(pl.value_lengths(), dtype=np.int64)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), plens)
+    order = np.lexsort((doc_ids[row_of], pflat))
+    sflat, srow = pflat[order], row_of[order]
+    m = len(sflat)
+    run_starts = np.flatnonzero(
+        np.concatenate(([True], sflat[1:] != sflat[:-1])))
+    run_ends = np.concatenate((run_starts[1:], [m]))
+    a_rows, b_rows = _run_pairs(srow, run_starts, run_ends,
+                                max_bucket, "prefix shingle")
+    if len(a_rows) == 0:
+        return empty
+    a_rows, b_rows = _dedup_pairs(a_rows, b_rows, doc_ids)
+    sh_list = group.column("sh").combine_chunks()
+    sh_flat = np.asarray(sh_list.flatten(), dtype=np.int64)
+    offs = np.concatenate(
+        ([0], np.cumsum(np.asarray(sh_list.value_lengths(),
+                                   dtype=np.int64))))
+    a_out, b_out, j_out = [], [], []
+    for i, j in zip(a_rows.tolist(), b_rows.tolist()):
+        si = sh_flat[offs[i]:offs[i + 1]]
+        sj = sh_flat[offs[j]:offs[j + 1]]
+        inter = np.intersect1d(si, sj, assume_unique=True).size
+        u = si.size + sj.size - inter
+        jac = inter / u if u else 0.0
+        if jac >= threshold:
+            a_out.append(doc_ids[i])
+            b_out.append(doc_ids[j])
+            j_out.append(round(jac, 6))
     return pa.table({"doc_a": pa.array(a_out, id_type),
                      "doc_b": pa.array(b_out, id_type),
                      "jaccard": pa.array(j_out, pa.float64())})

@@ -1664,56 +1664,72 @@ def events_user_gaps(sf_dir: str, n_parts: int = 16):
             .map_groups(gaps, batch_format="pyarrow"))
 
 
-_BENCH_SHINGLE_SCHEMA = pa.schema([("g", pa.string())])
+_BENCH_SHINGLE_SCHEMA = pa.schema([("g", pa.uint64())])
 _CONTAM_SCHEMA = pa.schema([("doc_id", pa.int64()),
                             ("n_hits", pa.int64())])
-
-
-def _shingles3(text: str) -> set:
-    toks = text.split()
-    return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
 
 
 def contamination_check(sf_dir: str, bench_mod: int = 20):
     """Benchmark-decontamination screen: flag corpus documents sharing
     any 3-gram shingle with the held-out "benchmark" subset (doc_id %
     bench_mod == 0 stands in for an eval set).  Phase 1 builds the
-    benchmark shingle set with per-batch set partials + a distributed
-    dedup groupby; the deduped set — small by nature, eval sets are tiny
-    next to the corpus — is broadcast once via ray.put.  Phase 2 is a
-    streaming map_batches counting per-doc intersections against the
-    broadcast set; no shuffle touches the corpus side."""
+    benchmark shingle set as 61-bit hash partials (one vectorized
+    shingle pass per batch), dedups with a groupby, and assembles the
+    sorted broadcast array in a WORKER task over block refs — the
+    driver never materializes a shingle.  Phase 2 streams the corpus
+    through one vectorized scoring kernel: batch-wide shingling
+    (``shingles_flat``), sorted-array membership via searchsorted, and a
+    lexsort-dedup + bincount for per-doc distinct-hit counts — no
+    per-row Python.  Hashes are 61-bit (collision odds ~n²/2^62,
+    negligible; the DuckDB string-shingle oracle still matches)."""
     import ray
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def bench_partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         ids = np.asarray(batch.column("doc_id"))
         keep = batch.filter(pa.array(ids % bench_mod == 0))
-        out: set = set()
-        for t in keep.column("text").to_pylist():
-            out |= _shingles3(t)
-        return pa.table({"g": sorted(out)}, schema=_BENCH_SHINGLE_SCHEMA)
+        _, sh = dd.shingles_flat(keep.column("text").to_pylist(), {})
+        return pa.table({"g": np.unique(sh)},
+                        schema=_BENCH_SHINGLE_SCHEMA)
 
     bench_ds = (ds.map_batches(bench_partial, batch_format="pyarrow")
                 .groupby("g").count())
-    bench_set = frozenset(r["g"] for r in bench_ds.take_all())
-    bench_ref = ray.put(bench_set)
+
+    @ray.remote
+    def _assemble(*tabs: pa.Table) -> np.ndarray:
+        # an empty groupby block can surface with an empty schema
+        parts = [np.asarray(t.column("g"), dtype=np.uint64)
+                 for t in tabs if "g" in t.column_names]
+        if not parts:
+            return np.empty(0, np.uint64)
+        return np.sort(np.concatenate(parts))
+
+    # block refs, concatenated + sorted inside a worker; the broadcast is
+    # one contiguous uint64 array (eval sets are tiny next to the corpus)
+    bench_ref = _assemble.remote(*bench_ds.to_arrow_refs())
 
     def score(batch: pa.Table) -> pa.Table:
         bench = ray.get(bench_ref)
         ids = np.asarray(batch.column("doc_id"))
-        texts = batch.column("text").to_pylist()
-        out_ids, out_hits = [], []
-        for d, t in zip(ids, texts):
-            if d % bench_mod == 0:
-                continue
-            n = len(_shingles3(t) & bench)
-            if n > 0:
-                out_ids.append(int(d))
-                out_hits.append(n)
-        return pa.table({"doc_id": out_ids, "n_hits": out_hits},
+        keep = batch.filter(pa.array(ids % bench_mod != 0))
+        kept_ids = np.asarray(keep.column("doc_id"))
+        doc_idx, sh = dd.shingles_flat(keep.column("text").to_pylist(), {})
+        if len(bench) == 0 or len(sh) == 0:
+            return pa.table({"doc_id": [], "n_hits": []},
+                            schema=_CONTAM_SCHEMA)
+        pos = np.searchsorted(bench, sh)
+        member = (pos < len(bench)) & (bench[np.minimum(
+            pos, len(bench) - 1)] == sh)
+        d, s = doc_idx[member], sh[member]
+        order = np.lexsort((s, d))
+        d, s = d[order], s[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (s[1:] != s[:-1])
+        hits = np.bincount(d[first], minlength=len(kept_ids))
+        nz = np.nonzero(hits)[0]
+        return pa.table({"doc_id": pa.array(kept_ids[nz], pa.int64()),
+                         "n_hits": pa.array(hits[nz], pa.int64())},
                         schema=_CONTAM_SCHEMA)
 
     return ds.map_batches(score, batch_format="pyarrow")

@@ -85,3 +85,53 @@ def test_semi_anti_join_null_left_keys(ray_session):
     # NOT EXISTS semantics: NULL=NULL never matches.
     assert list(semi["v"]) == ["a"]
     assert list(anti["v"]) == ["b", "c", "d"]
+
+
+# -------------------------------------------------- hot-bucket handling
+
+def test_jaccard_hot_shingle_bucket_completes(ray_session, tmp_path):
+    """A stop-word shingle shared by every document (10^4 docs) must not
+    drive an O(b^2) pair loop: the hot prefix-shingle run degrades to a
+    chain and the join still finds the planted near-dup pair exactly."""
+    import time
+    from iesl_pdf_to_text_ray.pipelines.table_ops import dedup_ngram_jaccard
+    n = 10_000
+    # every doc starts with the same 3 stop words (one shared shingle,
+    # shingle k=3) followed by a unique disjoint tail
+    texts = [f"the of and u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g"
+             for i in range(n)]
+    # planted near-dup pair: long shared tail
+    toks = " ".join(f"dup{j}" for j in range(40))
+    texts[100] = toks
+    texts[200] = toks + " extraone"
+    d = tmp_path / "hot"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": texts}), str(d / "documents.parquet"))
+    t0 = time.time()
+    out = _pd(dedup_ngram_jaccard(str(d)))
+    took = time.time() - t0
+    planted = out[(out.doc_a == 100) & (out.doc_b == 200)]
+    assert len(planted) == 1 and planted.iloc[0]["jaccard"] > 0.9
+    # chain degradation keeps this minutes->seconds; generous CI bound
+    assert took < 120, f"hot-bucket run took {took:.0f}s"
+
+
+def test_prefix_pairs_chain_fallback_logs(ray_session, caplog):
+    """Above-cap buckets log a warning and emit chain pairs only."""
+    import logging as _logging
+    from iesl_pdf_to_text_ray.functions import dedup as dd
+    n = 50
+    # all docs share prefix shingle 7; full sets identical -> jaccard 1
+    group = pa.table({
+        "part": pa.array([0] * n, pa.int32()),
+        "doc_id": pa.array(range(n), pa.int64()),
+        "prefix": pa.array([[7]] * n, pa.list_(pa.int64())),
+        "sh": pa.array([[7, 8, 9]] * n, pa.list_(pa.int64()))})
+    with caplog.at_level(_logging.WARNING,
+                         logger="iesl_pdf_to_text_ray.functions.dedup"):
+        out = dd.prefix_pairs_partition(group, max_bucket=10)
+    assert out.num_rows == n - 1          # chain, not n*(n-1)/2
+    assert any("hot prefix shingle bucket" in r.message
+               for r in caplog.records)
