@@ -56,7 +56,9 @@ def pdf_metadata_query(sf_dir: str):
     from iesl_pdf_to_text_ray.pdf.extractor import extract_metadata
 
     def meta_batch(batch: pa.Table) -> pa.Table:
+        import json as _json
         ids, pages, creators, producers, xmp = [], [], [], [], []
+        xmp_maps, widths, heights = [], [], []
         for doc_id, data in zip(batch.column("doc_id").to_pylist(),
                                 batch.column("pdf_bytes").to_pylist()):
             try:
@@ -68,11 +70,21 @@ def pdf_metadata_query(sf_dir: str):
             creators.append(m.get("creator") or "")
             producers.append(m.get("producer") or "")
             xmp.append(bool(m.get("has_xmp_metadata")))
+            # parsed XMP map (reference getinfo.js:38-42) as canonical
+            # JSON; page-1 viewport size (getinfo.js:49-50, Size: WxH)
+            xmp_maps.append(_json.dumps(m.get("xmp") or {},
+                                        sort_keys=True))
+            sizes = m.get("page_sizes") or [(0.0, 0.0)]
+            widths.append(float(sizes[0][0]))
+            heights.append(float(sizes[0][1]))
         return pa.table({"doc_id": pa.array(ids, pa.string()),
                          "n_pages": pa.array(pages, pa.int32()),
                          "creator": pa.array(creators, pa.string()),
                          "producer": pa.array(producers, pa.string()),
-                         "has_xmp": pa.array(xmp, pa.bool_())})
+                         "has_xmp": pa.array(xmp, pa.bool_()),
+                         "xmp_json": pa.array(xmp_maps, pa.string()),
+                         "page1_width": pa.array(widths, pa.float64()),
+                         "page1_height": pa.array(heights, pa.float64())})
 
     ds = ray.data.read_parquet(_corpus_dir())
     return ds.map_batches(meta_batch, batch_format="pyarrow", batch_size=4)

@@ -47,8 +47,11 @@ def count_pages(pdf_bytes: bytes) -> int:
 
 def extract_metadata(pdf_bytes: bytes) -> dict:
     """Document metadata (the reference's getinfo.js surface:
-    /root/reference/src/main/js/node/getinfo.js:26-49): Info dict fields +
-    page count; XMP presence flagged but not parsed."""
+    /root/reference/src/main/js/node/getinfo.js:26-50): Info dict fields,
+    page count, the parsed XMP metadata map (getinfo.js:38-42 prints
+    `Metadata:` entries when present) and per-page viewport sizes
+    (getinfo.js:49-50 prints `Size: WxH` from getViewport(1.0))."""
+    from .metadata import extract_xmp, page_view_size
     doc = PdfDocument(pdf_bytes)
     xref = doc.xref
     info = xref.fetch_if_ref(xref.trailer.get("Info")) or {}
@@ -68,6 +71,11 @@ def extract_metadata(pdf_bytes: bytes) -> dict:
         out[key.lower()] = v if isinstance(v, str) else None
     root = xref.root
     out["has_xmp_metadata"] = "Metadata" in root
+    try:
+        out["xmp"] = extract_xmp(xref)
+    except Exception:
+        out["xmp"] = {}
+    out["page_sizes"] = [page_view_size(p) for p in doc.pages]
     return out
 
 

@@ -468,6 +468,7 @@ def extract_text_content(pdf_bytes: bytes,
         interp = PageInterpreter(doc.xref, page.index, font_cache)
         ex = TextContentExtractor(doc.xref, interp._load_font)
         ex.run(page.content_bytes(), page.resources, _TextState())
+        from .metadata import page_view_size
         out.append({"page": page.index, "items": ex.items,
-                    "styles": ex.styles})
+                    "styles": ex.styles, "size": page_view_size(page)})
     return out

@@ -73,3 +73,187 @@ def test_plain_text():
     t = extract_plain_text(data)
     assert t.startswith("arXiv:1301.4293v2")
     assert "Latent Relation Representations" in t
+
+
+INPUT = "/root/reference/src/test/resources/input"
+
+# getMetadata parity pins, captured from the reference bundle via node
+# (getinfo.js surface).  1301.4293 is the load-bearing case: its
+# Ghostscript XMP parses to {} ONLY through the reference's regex mock
+# parser quirk (see pdf/metadata.py docstring).
+_XMP_EXPECT = {
+    "1301.4293": {},
+    "C04-1204": None,       # no /Metadata stream
+    "test24": {
+        "pdf:jcalibrarybuild": "3.6.i4 HF01",
+        "pdf:producer": "Acrobat Distiller 8.1.0 (Windows)",
+        "dc:title": "cg500037d 1..12",
+        "xap:createdate": "2014-03-26T14:46:30-04:00",
+        "xap:creatortool":
+            "Arbortext Advanced Print Publisher 10.0.1465/W Unicode",
+        "xap:modifydate": "2014-03-26T14:46:30-04:00",
+    },
+}
+
+_SIZE_EXPECT = {
+    "1301.4293": (612.0, 792.0),
+    "C04-1204": (595.0, 842.0),
+    "test24": (625.436, 818.362),
+    "test25": (595.276, 790.866),
+}
+
+
+def test_xmp_metadata_golden_parity():
+    from iesl_pdf_to_text_ray.pdf.extractor import extract_metadata
+    for name, expect in _XMP_EXPECT.items():
+        m = extract_metadata(open(f"{INPUT}/{name}.pdf", "rb").read())
+        if expect is None:
+            assert m["has_xmp_metadata"] is False and m["xmp"] == {}
+        else:
+            assert m["xmp"] == expect, name
+
+
+def test_page_sizes_golden_parity():
+    from iesl_pdf_to_text_ray.pdf.extractor import extract_metadata
+    for name, (w, h) in _SIZE_EXPECT.items():
+        m = extract_metadata(open(f"{INPUT}/{name}.pdf", "rb").read())
+        assert all(s == (w, h) for s in m["page_sizes"]), name
+        assert len(m["page_sizes"]) == m["n_pages"]
+
+
+def test_text_content_page_size():
+    from iesl_pdf_to_text_ray.pdf.text_content import extract_text_content
+    pages = extract_text_content(
+        open(f"{INPUT}/C04-1204.pdf", "rb").read())
+    assert [p["size"] for p in pages] == [(595.0, 842.0)] * 7
+
+
+def test_page_size_rotation_and_cropbox():
+    from iesl_pdf_to_text_ray.pdf.metadata import (_intersect,
+                                                   page_view_size)
+
+    class _P:  # minimal Page stand-in
+        class xref:
+            @staticmethod
+            def fetch_if_ref(v):
+                return v
+        dict = {"MediaBox": [0, 0, 612, 792], "Rotate": 90}
+    assert page_view_size(_P()) == (792.0, 612.0)
+    _P.dict = {"MediaBox": [0, 0, 612, 792],
+               "CropBox": [10, 20, 400, 500]}
+    assert page_view_size(_P()) == (390.0, 480.0)
+    # disjoint cropbox is ignored (Util.intersect returns null)
+    assert _intersect([0, 0, 10, 10], [20, 20, 30, 30]) is None
+    _P.dict = {}   # missing MediaBox falls back to letter
+    assert page_view_size(_P()) == (612.0, 792.0)
+
+
+def test_xmp_mock_parser_quirks():
+    """Pin the replicated DOMParserMock behaviors without node."""
+    from iesl_pdf_to_text_ray.pdf.metadata import fix_metadata, parse_xmp
+
+    # plain map, whitespace-separated tags parse fully
+    xmp = ("<x:xmpmeta xmlns:x='adobe:ns:meta/'>\n"
+           "<rdf:RDF xmlns:rdf='r'>\n"
+           "<rdf:Description rdf:about=''>\n"
+           "<dc:title>Hello &amp; &#x41;</dc:title>\n"
+           "<dc:creator>A B</dc:creator>\n"
+           "</rdf:Description>\n</rdf:RDF>\n</x:xmpmeta>")
+    assert parse_xmp(xmp) == {"dc:title": "Hello & A",
+                              "dc:creator": "A B"}
+    # the quirk: open tag immediately followed by a child tag swallows
+    # the child's open tag into a text node -> entry lost
+    mangled = xmp.replace("rdf:about=''>\n<dc:title>",
+                          "rdf:about=''><dc:title>")
+    assert "dc:title" not in parse_xmp(mangled)
+    # ghostscript octal-escaped UTF-16BE repair
+    fixed = fix_metadata(">\\376\\377\\000H\\000i<")
+    assert fixed == ">&#x0048;&#x0069;<"
+    # nested rdf:Alt/rdf:li flattens via textContent
+    xmp2 = ("<rdf:RDF xmlns:rdf='r'>\n"
+            "<rdf:Description rdf:about=''>\n"
+            "<dc:title>\n<rdf:Alt>\n<rdf:li xml:lang='x-default'>T</rdf:li>\n"
+            "</rdf:Alt>\n</dc:title>\n"
+            "</rdf:Description>\n</rdf:RDF>")
+    assert parse_xmp(xmp2) == {"dc:title": "T"}
+
+
+_META_HARNESS = r"""
+var fs = require('fs');
+global.window = global;
+global.navigator = { userAgent: "node" };
+global.PDFJS = {};
+global.DOMParser =
+  require('/root/reference/src/main/js/node/domparsermock.js').DOMParserMock;
+require('/root/reference/src/main/js/pdf.combined.js');
+var chunks = [];
+process.stdin.on('data', function (c) { chunks.push(c); });
+process.stdin.on('end', function () {
+  var cases = JSON.parse(Buffer.concat(chunks).toString('utf8'));
+  var out = cases.map(function (s) {
+    try { return new PDFJS.Metadata(s).metadata; }
+    catch (e) { return {"__error__": String(e)}; }
+  });
+  process.stdout.write(JSON.stringify(out));
+});
+"""
+
+
+def test_xmp_vs_reference_metadata(tmp_path):
+    """Randomized XMP strings through the reference Metadata class via
+    node must produce the same map as parse_xmp."""
+    import json
+    import os
+    import random
+    import shutil
+    import subprocess
+
+    from iesl_pdf_to_text_ray.pdf.metadata import parse_xmp
+    if (shutil.which("node") is None
+            or not os.path.exists(
+                "/root/reference/src/main/js/pdf.combined.js")):
+        import pytest
+        pytest.skip("node or reference bundle unavailable")
+
+    rng = random.Random(4242)
+    tags = ["dc:title", "dc:creator", "pdf:Producer", "xmp:CreateDate",
+            "xapMM:DocumentID", "a_b:c1"]
+    texts = ["hello world", "()", "a &amp; b", "&#x48;i", "  pad  ",
+             "line1\nline2", "T&uuml;r", "1 < 2 ok"]
+    seps = ["\n", "", " ", "\n  "]
+
+    def make_case():
+        n = rng.randint(0, 4)
+        body = []
+        for _ in range(n):
+            t = rng.choice(tags)
+            if rng.random() < 0.25:
+                inner = ("<rdf:Alt>%s<rdf:li xml:lang='x-default'>%s"
+                         "</rdf:li>%s</rdf:Alt>"
+                         % (rng.choice(seps), rng.choice(texts).replace(
+                             "<", "&lt;"), rng.choice(seps)))
+            else:
+                inner = rng.choice(texts).replace("<", "&lt;")
+            body.append("<%s>%s</%s>" % (t, inner, t))
+        desc = ("<rdf:Description rdf:about='uuid:x'%s>%s%s%s"
+                "</rdf:Description>"
+                % (rng.choice([" xmlns:dc='d'", ""]), rng.choice(seps),
+                   rng.choice(seps).join(body), rng.choice(seps)))
+        rdf = "<rdf:RDF xmlns:rdf='r'>%s%s%s</rdf:RDF>" % (
+            rng.choice(seps), desc, rng.choice(seps))
+        if rng.random() < 0.5:
+            rdf = ("<?xpacket begin='' id='W5M'?><x:xmpmeta "
+                   "xmlns:x='adobe:ns:meta/'>%s%s%s</x:xmpmeta>"
+                   % (rng.choice(seps), rdf, rng.choice(seps)))
+        return rdf
+
+    cases = [make_case() for _ in range(120)]
+    run = tmp_path / "run.js"
+    run.write_text(_META_HARNESS)
+    p = subprocess.run(["node", str(run)],
+                       input=json.dumps(cases).encode(),
+                       capture_output=True, timeout=180)
+    expected = json.loads(p.stdout)
+    for case, exp in zip(cases, expected):
+        assert "__error__" not in exp, exp
+        assert parse_xmp(case) == exp, case
