@@ -22,9 +22,14 @@ def extract_spans(pdf_bytes: bytes,
     empty default covers the common empty-user-password case).
     """
     doc = PdfDocument(pdf_bytes, password=password)
-    pages = doc.pages
-    if page_range is not None:
-        pages = pages[page_range[0]:page_range[1]]
+    if page_range is not None and hasattr(pdf_bytes, "view"):
+        # lazy (range-fetched) buffer: fetch only the objects of the
+        # requested page range via /Count-guided tree slicing
+        pages = doc.pages_slice(page_range[0], page_range[1])
+    elif page_range is not None:
+        pages = doc.pages[page_range[0]:page_range[1]]
+    else:
+        pages = doc.pages
     font_cache: dict = {}
     out: list[tuple] = []
     for page in pages:
@@ -42,7 +47,10 @@ def extract_spans(pdf_bytes: bytes,
 
 
 def count_pages(pdf_bytes: bytes) -> int:
-    return len(PdfDocument(pdf_bytes).pages)
+    doc = PdfDocument(pdf_bytes)
+    if hasattr(pdf_bytes, "view"):      # lazy buffer: O(1) /Count path
+        return doc.page_count()
+    return len(doc.pages)
 
 
 def extract_metadata(pdf_bytes: bytes) -> dict:

@@ -6,12 +6,8 @@ pdf.combined.js:27271-27835); independent Python design.
 
 from __future__ import annotations
 
-import re
-
 from .lexer import EOF, Lexer
 from .objects import Name, PdfError, Ref, Stream
-
-_ENDSTREAM_RE = re.compile(rb"endstream")
 
 
 class Parser:
@@ -96,11 +92,11 @@ class Parser:
                 if tail.startswith(b"endstream"):
                     raw = data[p:e]
         if raw is None:
-            # broken /Length: scan for endstream
-            m = _ENDSTREAM_RE.search(data, p)
-            if not m:
+            # broken /Length: scan for endstream (find, not regex, so it
+            # streams over ChunkedData buffers too)
+            e = data.find(b"endstream", p)
+            if e < 0:
                 raise PdfError("endstream not found")
-            e = m.start()
             # strip at most one EOL before endstream
             if e > p and data[e - 1] == 0x0A:
                 e -= 1
@@ -108,8 +104,8 @@ class Parser:
                 e -= 1
             raw = data[p:e]
         # resync lexer after the stream
-        m = _ENDSTREAM_RE.search(data, p + len(raw))
-        self.lexer.pos = (m.end() if m else p + len(raw))
+        i = data.find(b"endstream", p + len(raw))
+        self.lexer.pos = (i + 9 if i >= 0 else p + len(raw))
         self.buf1 = self.lexer.next_token()
         self.pos1 = self.lexer.tok_start
         self.buf2 = self.lexer.next_token()

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import re
 
+from .chunked_data import finditer_buffer
 from .filters import decode_stream
 from .lexer import EOF
 from .objects import PdfError, Ref, Stream
@@ -16,6 +17,7 @@ from .parser import Parser
 
 _STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_CATALOG_RE = re.compile(rb"/Type\s*/Catalog")
 
 
 class XRef:
@@ -230,7 +232,7 @@ class XRef:
             return
         self._recovered = True
         data = self.data
-        for m in _OBJ_RE.finditer(data):
+        for m in finditer_buffer(_OBJ_RE, data):
             num, gen = int(m.group(1)), int(m.group(2))
             # later definitions win (incremental updates appear later)
             self.entries[num] = (m.start(), gen)
@@ -260,12 +262,12 @@ class XRef:
                     continue
         if "Root" not in self.trailer:
             # find an uncompressed catalog
-            for m in re.finditer(rb"/Type\s*/Catalog", data):
+            for m in finditer_buffer(_CATALOG_RE, data):
                 # locate enclosing object header
                 head = data.rfind(b" obj", 0, m.start())
                 objm = None
-                for objm in _OBJ_RE.finditer(data, max(0, head - 64),
-                                             m.start()):
+                for objm in _OBJ_RE.finditer(
+                        data[max(0, head - 64):m.start()]):
                     pass
                 if objm:
                     self.trailer["Root"] = Ref(int(objm.group(1)),
@@ -335,9 +337,11 @@ class XRef:
         kw = parser.shift()
         if kw != "obj":
             # tolerate off-by-small offsets: scan forward for the header
-            m = _OBJ_RE.search(data, max(0, offset - 32), offset + 1024)
+            # (bounded window, materialized so it works on lazy buffers)
+            a = max(0, offset - 32)
+            m = _OBJ_RE.search(data[a:offset + 1024])
             if m and int(m.group(1)) == expected_num:
-                parser = Parser(data, m.end(), xref=self)
+                parser = Parser(data, a + m.end(), xref=self)
                 return parser.get_obj()
             return None
         if num != expected_num:

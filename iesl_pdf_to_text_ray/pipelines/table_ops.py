@@ -1461,8 +1461,19 @@ def stratified_sample(sf_dir: str, target_per_lang: int = 50):
     reproduces the exact row set."""
     import math
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
-    counts = {r["lang"]: r["count()"]
-              for r in ds.groupby("lang").count().take_all()}
+
+    def lang_counts(batch: pa.Table) -> pa.Table:
+        # per-batch partial counts: the merged result is O(blocks x langs)
+        # tiny rows — no shuffle for a handful of distinct keys
+        vc = batch.column("lang").to_pandas().value_counts()
+        return pa.table({"lang": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    counts: dict = {}
+    for part in (_read(sf_dir, "documents", columns=["lang"])
+                 .map_batches(lang_counts, batch_format="pyarrow")
+                 .take_all()):
+        counts[part["lang"]] = counts.get(part["lang"], 0) + part["n"]
     rate = {lang: min(10000, math.ceil(10000.0 * target_per_lang / n))
             for lang, n in counts.items()}
 

@@ -148,3 +148,63 @@ def read_pdf_files(path: str):
                         schema=CORPUS_SCHEMA)
 
     return ds.map_batches(to_corpus, batch_format="pyarrow", batch_size=8)
+
+
+def synthesize_large_pdf(path: str, n_pages: int = 64,
+                         bytes_per_page: int = 1 << 20) -> str:
+    """One deterministic multi-hundred-MB-class PDF for the ranged
+    (ChunkedStream-analog) path: every page draws its own uncompressed
+    DeviceRGB image XObject of ~bytes_per_page, so a page-range shard
+    touches ~its share of the file and nothing else.  Text per page is
+    unique ("Large doc page N"), so span digests detect any page-range
+    mix-up.  Layout is a classic xref table, offsets exact."""
+    import numpy as np
+
+    side = max(8, int((bytes_per_page // 3) ** 0.5))
+    img_len = side * side * 3
+    objects: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+    }
+    kids = " ".join(f"{3 + 3 * i} 0 R" for i in range(n_pages))
+    objects[2] = (f"<< /Type /Pages /Kids [{kids}] "
+                  f"/Count {n_pages} >>").encode()
+    for i in range(n_pages):
+        page_num, content_num, img_num = 3 + 3 * i, 4 + 3 * i, 5 + 3 * i
+        objects[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 {3 + 3 * n_pages} 0 R >> "
+            f"/XObject << /Im0 {img_num} 0 R >> >> "
+            f"/Contents {content_num} 0 R >>").encode()
+        text = f"Large doc page {i}"
+        content = (f"BT /F1 12 Tf 72 720 Td ({text}) Tj ET\n"
+                   f"q 200 0 0 200 100 300 cm /Im0 Do Q").encode()
+        objects[content_num] = (b"<< /Length %d >>\nstream\n" % len(content)
+                                + content + b"\nendstream")
+        rng = np.random.default_rng(1000 + i)
+        pixels = rng.integers(0, 256, img_len, dtype=np.uint8).tobytes()
+        objects[img_num] = (
+            (f"<< /Type /XObject /Subtype /Image /Width {side} "
+             f"/Height {side} /BitsPerComponent 8 /ColorSpace /DeviceRGB "
+             f"/Length {img_len} >>\nstream\n").encode()
+            + pixels + b"\nendstream")
+    objects[3 + 3 * n_pages] = (b"<< /Type /Font /Subtype /Type1 "
+                                b"/BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode())
+        out.extend(objects[num])
+        out.extend(b"\nendobj\n")
+    xref_off = len(out)
+    maxnum = max(objects)
+    out.extend(f"xref\n0 {maxnum + 1}\n".encode())
+    out.extend(b"0000000000 65535 f \n")
+    for num in range(1, maxnum + 1):
+        out.extend(f"{offsets.get(num, 0):010d} 00000 n \n".encode())
+    out.extend(f"trailer\n<< /Size {maxnum + 1} /Root 1 0 R >>\n"
+               f"startxref\n{xref_off}\n%%EOF\n".encode())
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    return path

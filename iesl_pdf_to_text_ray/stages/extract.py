@@ -163,7 +163,8 @@ class ExtractShards:
     def _resolve_payloads(self, rows: list[dict]) -> None:
         import pyarrow.parquet as pq
         wanted = {(r["path"], r["doc_id"]) for r in rows
-                  if r["pdf_bytes"] is None and r["path"]}
+                  if r["pdf_bytes"] is None and r["path"]
+                  and not r["path"].endswith(".pdf")}
         # bound actor memory: keep only entries this batch still needs
         self._blob_cache = {k: v for k, v in self._blob_cache.items()
                             if k in wanted}
@@ -179,8 +180,19 @@ class ExtractShards:
                 self._blob_cache[(path, d)] = b
         for r in rows:
             if r["pdf_bytes"] is None:
-                r["pdf_bytes"] = self._blob_cache.get(
-                    (r["path"], r["doc_id"]), b"")
+                if r["path"].endswith(".pdf"):
+                    # raw-file pointer: a range-fetched lazy buffer (the
+                    # reference's ChunkedStream analog) — the shard never
+                    # holds the whole payload, only an LRU of chunks plus
+                    # the objects its page range touches
+                    from ..pdf.chunked_data import ChunkedData
+                    try:
+                        r["pdf_bytes"] = ChunkedData.from_file(r["path"])
+                    except OSError:
+                        r["pdf_bytes"] = b""
+                else:
+                    r["pdf_bytes"] = self._blob_cache.get(
+                        (r["path"], r["doc_id"]), b"")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
