@@ -49,6 +49,41 @@ def extract_corpus_query(sf_dir: str):
     return ds.map_batches(summarize, batch_format="pyarrow")
 
 
+def extract_corpus_ranged_query(sf_dir: str):
+    """Extraction through the range-read path (pdf/chunked_data.py, the
+    reference ChunkedStream/NetworkPdfManager analog): raw .pdf files on
+    disk -> pointer-only shard rows -> ChunkedData range fetches inside
+    ExtractShards -> reassembly.  No actor ever holds a whole payload;
+    digests equal extract_corpus (pinned in tests/test_ranged.py)."""
+    import shutil
+
+    import pyarrow as pa
+    from iesl_pdf_to_text_ray.pipelines.extract_pipeline import \
+        extract_pdf_dir_ranged
+    from iesl_pdf_to_text_ray.stages.extract import spans_digest
+    pdf_dir = "/tmp/graft_ranged_corpus"
+    if not os.path.exists(os.path.join(pdf_dir, "_done")):
+        os.makedirs(pdf_dir, exist_ok=True)
+        src = "/root/reference/src/test/resources/input"
+        for name in ("1301.4293", "C04-1204", "test24", "test25"):
+            for copy in range(4):
+                shutil.copy(os.path.join(src, f"{name}.pdf"),
+                            os.path.join(pdf_dir,
+                                         f"doc-{copy}-{name}.pdf"))
+        open(os.path.join(pdf_dir, "_done"), "w").close()
+    ds = extract_pdf_dir_ranged(pdf_dir, concurrency=(1, 4),
+                                pages_per_shard=4)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+            "n_spans": pa.array([r["n_spans"] for r in rows], pa.int32()),
+            "digest": pa.array([spans_digest(r["spans"]) for r in rows],
+                               pa.string())})
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
 def pdf_metadata_query(sf_dir: str):
     """Metadata extraction over the PDF corpus (getinfo.js parity)."""
     import pyarrow as pa
@@ -308,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_corpus": extract_corpus_query,
         "extract_corpus_split": extract_corpus_split_query,
         "extract_corpus_chunked": extract_corpus_chunked_query,
+        "extract_corpus_ranged": extract_corpus_ranged_query,
         "spans_normalize": spans_ops.spans_pipeline,
         # dedup family
         "dedup_exact": table_ops.dedup_exact,
@@ -374,8 +410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # Queries intentionally absent from oracle_sql(), with why SQL cannot
 # express them (the driver records a rows-only check for these):
 #   extract_corpus / extract_corpus_split / extract_corpus_chunked /
-#   pdf_metadata / pdf_media / pdf_text_items / extract_layout /
-#   pdf_training_text — operate on the
+#   extract_corpus_ranged / pdf_metadata / pdf_media / pdf_text_items /
+#   extract_layout / pdf_training_text — operate on the
 #     PDF byte corpus, which is not among the driver's 10 registered
 #     DuckDB views; correctness is enforced instead by golden
 #     span-sequence equality in tests/test_golden.py (4/4 docs exact) and
