@@ -336,7 +336,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from iesl_pdf_to_text_ray.pipelines import spans_ops, table_ops
+    from iesl_pdf_to_text_ray.pipelines import (spans_ops, table_ops,
+                                                table_ops_r4)
 
     return {
         # extraction engine (non-SQL; golden-verified via pytest)
@@ -404,6 +405,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": table_ops.weighted_sample,
         "orders_with_bulk_items": table_ops.orders_with_bulk_items,
         "pricing_quantiles_sketch": table_ops.pricing_quantiles_sketch,
+        # round-4 pack: TPC-H Q3/Q6/Q10/Q14/Q17/Q18 flavors, window
+        # family completion, behavioral analytics, corpus statistics
+        "forecast_revenue": table_ops_r4.forecast_revenue,
+        "shipping_priority": table_ops_r4.shipping_priority,
+        "returned_items": table_ops_r4.returned_items,
+        "promo_revenue": table_ops_r4.promo_revenue,
+        "large_orders": table_ops_r4.large_orders,
+        "small_qty_revenue": table_ops_r4.small_qty_revenue,
+        "supplier_balance_by_region":
+            table_ops_r4.supplier_balance_by_region,
+        "orders_rank_in_customer": table_ops_r4.orders_rank_in_customer,
+        "events_moving_sum": table_ops_r4.events_moving_sum,
+        "events_type_transitions": table_ops_r4.events_type_transitions,
+        "events_funnel": table_ops_r4.events_funnel,
+        "daily_active_users": table_ops_r4.daily_active_users,
+        "doc_length_histogram": table_ops_r4.doc_length_histogram,
+        "keyword_doc_counts": table_ops_r4.keyword_doc_counts,
+        "label_centroids": table_ops_r4.label_centroids,
     }
 
 
@@ -932,5 +951,158 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_quantity > 45)
             GROUP BY o_orderpriority
+        """,
+        # ---- round-4 pack ----
+        "forecast_revenue": """
+            SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100
+                                       + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "shipping_priority": """
+            SELECT o.o_orderkey, o.o_orderdate,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < '1998-01-01'
+              AND l.l_shipdate >= '1998-01-01'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue_cents DESC, o.o_orderkey ASC LIMIT 10
+        """,
+        "returned_items": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, n.n_name
+            ORDER BY revenue_cents DESC, c.c_custkey ASC LIMIT 20
+        """,
+        "promo_revenue": """
+            SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                                 THEN CAST(floor(l_extendedprice
+                                                 * (1 - l_discount) * 100
+                                                 + 0.5) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS promo_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        """,
+        "large_orders": """
+            WITH q AS (SELECT l_orderkey,
+                              CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+                       FROM lineitem GROUP BY l_orderkey
+                       HAVING sum(l_quantity) > 250)
+            SELECT o_orderkey, o_custkey, o_orderdate,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS total_cents,
+                   sum_qty
+            FROM orders JOIN q ON o_orderkey = q.l_orderkey
+            ORDER BY sum_qty DESC, o_orderkey ASC LIMIT 50
+        """,
+        "small_qty_revenue": """
+            WITH s AS (SELECT l_partkey AS pk,
+                              CAST(sum(l_quantity) AS BIGINT) AS qs,
+                              count(*) AS qn
+                       FROM lineitem GROUP BY l_partkey)
+            SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem JOIN s ON l_partkey = s.pk
+            WHERE 2 * l_quantity * qn < qs
+        """,
+        "supplier_balance_by_region": """
+            SELECT r_name,
+                   count(*)::BIGINT AS n_suppliers,
+                   CAST(sum(CAST(floor(abs(s_acctbal * 100) + 0.5)
+                                 * sign(s_acctbal) AS BIGINT)) AS BIGINT)
+                       AS total_acctbal_cents
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "orders_rank_in_customer": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(row_number() OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey ASC)
+                        AS BIGINT) AS rnk,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents
+            FROM orders QUALIFY rnk <= 3
+        """,
+        "events_moving_sum": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS w3_cents
+            FROM events
+        """,
+        "events_type_transitions": """
+            WITH w AS (SELECT event_type,
+                              lag(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_type
+                       FROM events)
+            SELECT prev_type, event_type, count(*)::BIGINT AS n
+            FROM w WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        """,
+        "events_funnel": """
+            WITH m AS (SELECT user_id,
+                              min(CASE WHEN event_type = 'click'
+                                       THEN ts END) AS c,
+                              min(CASE WHEN event_type = 'purchase'
+                                       THEN ts END) AS p
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')
+                       GROUP BY user_id)
+            SELECT count(*) FILTER (WHERE c IS NOT NULL)::BIGINT
+                       AS n_clicked,
+                   count(*) FILTER (WHERE p IS NOT NULL)::BIGINT
+                       AS n_purchased,
+                   count(*) FILTER (WHERE c IS NOT NULL AND p IS NOT NULL
+                                    AND c < p)::BIGINT AS n_converted
+            FROM m
+        """,
+        "daily_active_users": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY 1
+        """,
+        "doc_length_histogram": """
+            SELECT CAST(n_chars // 100 AS BIGINT) AS bucket,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars
+            FROM documents GROUP BY 1
+        """,
+        "keyword_doc_counts": """
+            SELECT lang, kw AS keyword, count(*)::BIGINT AS n_docs
+            FROM documents,
+                 (VALUES ('spark'), ('window'), ('vector')) t(kw)
+            WHERE contains(text, kw)
+            GROUP BY lang, kw
+        """,
+        "label_centroids": """
+            SELECT label::BIGINT AS label,
+                   CAST(i - 1 AS BIGINT) AS dim,
+                   round(avg(embedding[i]::DOUBLE), 6) AS avg_val
+            FROM embeddings, generate_series(1, 64) t(i)
+            GROUP BY 1, 2
         """,
     }
