@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": table_ops_r4.doc_length_histogram,
         "keyword_doc_counts": table_ops_r4.keyword_doc_counts,
         "label_centroids": table_ops_r4.label_centroids,
+        "ann_lsh": table_ops_r4.ann_lsh,
     }
 
 
@@ -442,6 +443,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 #   ann_ivf — k-means coarse quantizer (iterative, not SQL-expressible);
 #     validated by recall-vs-bruteforce pytest, and ann_bruteforce (same
 #     kernel, exhaustive) has a full oracle.
+#   ann_lsh — random-hyperplane multi-probe LSH buckets; approximate by
+#     construction (bucketing discards candidates), so no cross-engine
+#     value equality exists; recall vs ann_bruteforce is pinned in
+#     tests/test_r4_queries.py.
 #   pricing_quantiles_sketch — mergeable equi-depth summary (approximate
 #     by design, like the HLL sketch); accuracy vs exact quantiles is
 #     pinned in tests/test_round3_ops.py.

@@ -223,3 +223,93 @@ def ivf_bucket_topk_group(group: pa.Table, queries: dict, probes: dict,
                      "sim": pa.array(out_s, pa.float64())})
 
 
+
+
+# ---- random-hyperplane LSH (bucketed cosine search) ------------------------
+
+def lsh_planes(dim: int, n_tables: int, n_bits: int,
+               seed: int = 1234) -> np.ndarray:
+    """Deterministic random hyperplanes, one (n_bits, dim) block per hash
+    table, stacked to (n_tables*n_bits, dim)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables * n_bits, dim))
+
+
+def _lsh_signatures(mat: np.ndarray, planes: np.ndarray, n_tables: int,
+                    n_bits: int) -> np.ndarray:
+    """(n, n_tables) int64 signatures: sign pattern of the projections,
+    one n_bits-wide code per table."""
+    proj = mat @ planes.T > 0.0                      # (n, L*b)
+    bits = proj.reshape(len(mat), n_tables, n_bits)
+    weights = (np.int64(1) << np.arange(n_bits, dtype=np.int64))
+    return (bits * weights).sum(axis=2, dtype=np.int64)
+
+
+def _lsh_bucket_ids(sigs: np.ndarray, n_bits: int) -> np.ndarray:
+    """Table-major global bucket id: (table << n_bits) | signature, so
+    every (table, code) cell is a distinct groupby key."""
+    n_tables = sigs.shape[1]
+    table = np.arange(n_tables, dtype=np.int64)[None, :]
+    return (table << np.int64(n_bits)) | sigs
+
+
+class LshAssign:
+    """map_batches index-build stage: replicate each vector into its
+    n_tables hash buckets (vectorized sign projections).  The xL blow-up
+    is the LSH index layout — at 10^12 scale this is a one-time build
+    written bucket-partitioned to storage; the query path then reads only
+    probed buckets, never the full table."""
+
+    def __init__(self, planes_ref, n_tables: int, n_bits: int):
+        import ray
+        self.planes = ray.get(planes_ref)
+        self.L = n_tables
+        self.b = n_bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _matrix(batch.column("embedding"))
+        buckets = _lsh_bucket_ids(
+            _lsh_signatures(normalize(mat), self.planes, self.L, self.b),
+            self.b)                                   # (n, L)
+        idx = pa.array(np.repeat(np.arange(len(mat)), self.L))
+        return pa.table({
+            "bucket": pa.array(buckets.ravel(), pa.int64()),
+            "vec_id": batch.column("vec_id").take(idx),
+            "embedding": batch.column("embedding").take(idx)})
+
+
+def lsh_probe_sets(qvecs: np.ndarray, qids, planes: np.ndarray,
+                   n_tables: int, n_bits: int,
+                   multiprobe: bool = True) -> dict:
+    """Per-query probe-bucket sets: the exact bucket in every table plus
+    (optionally) every 1-bit flip of its code — standard multi-probe LSH,
+    recovering most of the recall lost to boundary-crossing neighbors for
+    (1 + n_bits) * n_tables probes per query."""
+    sigs = _lsh_signatures(normalize(qvecs), planes, n_tables, n_bits)
+    probes = {}
+    for i, qid in enumerate(qids):
+        buckets = set(_lsh_bucket_ids(sigs[i:i + 1], n_bits).ravel()
+                      .tolist())
+        if multiprobe:
+            for t in range(n_tables):
+                base = np.int64(t << n_bits)
+                code = sigs[i, t]
+                for bit in range(n_bits):
+                    buckets.add(int(base | (code ^ (1 << bit))))
+        probes[int(qid)] = buckets
+    return probes
+
+
+def lsh_merge_topk_group(group: pa.Table, k: int) -> pa.Table:
+    """groupby(query_id).map_groups: merge per-bucket candidates into the
+    final top-k, deduplicating neighbors first (a vector shares >1 probed
+    bucket with a query whenever several tables agree)."""
+    qid = group.column("query_id")[0].as_py()
+    neigh = np.asarray(group.column("neighbor_id").to_pylist())
+    sims = np.asarray(group.column("sim").to_pylist())
+    uniq, first = np.unique(neigh, return_index=True)
+    order = np.lexsort((uniq, -sims[first]))[:k]
+    return pa.table({
+        "query_id": pa.array([qid] * len(order), pa.int64()),
+        "neighbor_id": pa.array(uniq[order], pa.int64()),
+        "sim": pa.array(np.round(sims[first][order], 6), pa.float64())})

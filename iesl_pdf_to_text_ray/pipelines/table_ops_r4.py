@@ -845,3 +845,44 @@ def label_centroids(sf_dir: str):
             schema=_CENTROID_SCHEMA)
 
     return ds.map_batches(rename, batch_format="pyarrow")
+
+
+# ------------------------------------------------- similarity search
+
+def ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 10,
+            n_tables: int = 8, n_bits: int = 6):
+    """LSH-bucketed approximate nearest neighbors: random-hyperplane
+    signatures place each vector in ``n_tables`` hash buckets
+    (map_batches actor stage, planes broadcast once), then
+    groupby(bucket) co-locates each bucket and only queries probing that
+    bucket (exact code + 1-bit multi-probe flips) compute similarities
+    there — the hash-partitioned alternative to the IVF scale path with
+    no training step at all.  Recall vs ann_bruteforce is pinned in
+    tests/test_r4_queries.py; approximate by construction, so no SQL
+    oracle (same rationale as ann_ivf)."""
+    import functools
+
+    import ray
+
+    from ..functions import ann as annf
+    from .table_ops import _load_queries
+
+    q = _load_queries(sf_dir, n_queries)
+    dim = q["vecs"].shape[1]
+    planes = annf.lsh_planes(dim, n_tables, n_bits)
+    planes_ref = ray.put(planes)
+    probes = annf.lsh_probe_sets(q["vecs"], q["ids"], planes,
+                                 n_tables, n_bits)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(annf.LshAssign,
+                        fn_constructor_args=(planes_ref, n_tables, n_bits),
+                        batch_format="pyarrow", batch_size=512,
+                        concurrency=(1, 4))
+    n_buckets = n_tables << n_bits
+    ds = ds.groupby("bucket", num_partitions=min(64, n_buckets)) \
+        .map_groups(functools.partial(annf.ivf_bucket_topk_group,
+                                      queries=q, probes=probes, k=k),
+                    batch_format="pyarrow")
+    return ds.groupby("query_id", num_partitions=n_queries).map_groups(
+        functools.partial(annf.lsh_merge_topk_group, k=k),
+        batch_format="pyarrow")

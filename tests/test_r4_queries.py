@@ -235,3 +235,34 @@ def test_label_centroids_matches_numpy(ray_session):
         want = np.round(mat[labels == lab].mean(axis=0), 6)
         got = out[out.label == lab].sort_values("dim")["avg_val"].to_numpy()
         np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+# ------------------------------------------------- similarity search
+
+def test_ann_lsh_recall_vs_bruteforce(ray_session):
+    """Multi-probe LSH recall@10 vs the exact search; self-matches
+    excluded on both sides, identical (sim DESC, id ASC) ranking."""
+    from iesl_pdf_to_text_ray.pipelines.table_ops import ann_bruteforce
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r4 import ann_lsh
+    exact = _pd(ann_bruteforce(SF, n_queries=8, k=10))
+    approx = _pd(ann_lsh(SF, n_queries=8, k=10, n_tables=8, n_bits=6))
+    hits = tot = 0
+    for qid in exact["query_id"].unique():
+        want = set(exact[exact.query_id == qid]["neighbor_id"])
+        got = set(approx[approx.query_id == qid]["neighbor_id"])
+        hits += len(want & got)
+        tot += len(want)
+    recall = hits / tot
+    assert recall >= 0.6, recall
+    # every reported neighbor must carry its true cosine similarity
+    merged = approx.merge(exact, on=["query_id", "neighbor_id"],
+                          suffixes=("_lsh", "_exact"))
+    assert np.allclose(merged["sim_lsh"], merged["sim_exact"])
+
+
+def test_ann_lsh_no_duplicate_neighbors(ray_session):
+    """A vector probed via several tables must appear once per query."""
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r4 import ann_lsh
+    out = _pd(ann_lsh(SF, n_queries=4, k=10, n_tables=6, n_bits=4))
+    dup = out.groupby(["query_id", "neighbor_id"]).size()
+    assert (dup == 1).all()
