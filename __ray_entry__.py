@@ -424,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_doc_counts": table_ops_r4.keyword_doc_counts,
         "label_centroids": table_ops_r4.label_centroids,
         "ann_lsh": table_ops_r4.ann_lsh,
+        "events_props_stats": table_ops_r4.events_props_stats,
     }
 
 
@@ -1109,5 +1110,16 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(embedding[i]::DOUBLE), 6) AS avg_val
             FROM embeddings, generate_series(1, 64) t(i)
             GROUP BY 1, 2
+        """,
+        "events_props_stats": """
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(json_extract(props, '$.k')::BIGINT)::BIGINT
+                       AS sum_k,
+                   min(json_extract(props, '$.k')::BIGINT)::BIGINT
+                       AS min_k,
+                   max(json_extract(props, '$.k')::BIGINT)::BIGINT
+                       AS max_k
+            FROM events GROUP BY event_type
         """,
     }

@@ -886,3 +886,54 @@ def ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 10,
     return ds.groupby("query_id", num_partitions=n_queries).map_groups(
         functools.partial(annf.lsh_merge_topk_group, k=k),
         batch_format="pyarrow")
+
+
+# ----------------------------------------------- semi-structured props
+
+_PROPS_PARTIAL = pa.schema([
+    ("event_type", pa.string()), ("part_n", pa.int64()),
+    ("part_sum", pa.int64()), ("part_min", pa.int64()),
+    ("part_max", pa.int64())])
+_PROPS_SCHEMA = pa.schema([
+    ("event_type", pa.string()), ("n_events", pa.int64()),
+    ("sum_k", pa.int64()), ("min_k", pa.int64()), ("max_k", pa.int64())])
+
+
+def events_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` out of the JSON
+    ``props`` column and aggregate per event type.  The extraction is a
+    vectorized pandas str.extract (the props payloads are flat
+    single-key objects; a JSON-path engine drops into the same batch
+    kernel for nested payloads), partial-combined per batch so the
+    shuffle is O(event types)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        props = batch.column("props").to_pandas()
+        k = props.str.extract(r'"k"\s*:\s*(-?\d+)', expand=False) \
+            .astype("Int64")
+        df = pd.DataFrame({"event_type": batch.column("event_type")
+                           .to_pandas(), "k": k}).dropna()
+        g = df.groupby("event_type", as_index=False).agg(
+            part_n=("k", "size"), part_sum=("k", "sum"),
+            part_min=("k", "min"), part_max=("k", "max"))
+        for c in ("part_n", "part_sum", "part_min", "part_max"):
+            g[c] = g[c].astype(np.int64)
+        return _pd_table(g, _PROPS_PARTIAL)
+
+    from ray.data.aggregate import Max, Min, Sum
+    ds = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("part_n"), Sum("part_sum"), Min("part_min"),
+            Max("part_max"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "n_events": batch.column("sum(part_n)").cast(pa.int64()),
+            "sum_k": batch.column("sum(part_sum)").cast(pa.int64()),
+            "min_k": batch.column("min(part_min)").cast(pa.int64()),
+            "max_k": batch.column("max(part_max)").cast(pa.int64())},
+            schema=_PROPS_SCHEMA)
+
+    return ds.map_batches(rename, batch_format="pyarrow")

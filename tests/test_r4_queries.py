@@ -266,3 +266,27 @@ def test_ann_lsh_no_duplicate_neighbors(ray_session):
     out = _pd(ann_lsh(SF, n_queries=4, k=10, n_tables=6, n_bits=4))
     dup = out.groupby(["query_id", "neighbor_id"]).size()
     assert (dup == 1).all()
+
+
+# ----------------------------------------------- semi-structured props
+
+def test_events_props_stats_oracle(ray_session):
+    _assert_matches_oracle("events_props_stats")
+
+
+def test_events_props_stats_malformed_rows_dropped(ray_session, tmp_path):
+    """Rows whose props lack an integer k are excluded from the
+    aggregate (NULL semantics, matching SQL json_extract)."""
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r4 import events_props_stats
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_type": ["a", "a", "a", "b"],
+        "props": ['{"k": 5}', '{"other": 1}', '{"k": -3}', 'not json']}),
+        str(d / "events.parquet"))
+    out = _pd(events_props_stats(str(d))).set_index("event_type")
+    assert out.loc["a", "n_events"] == 2
+    assert out.loc["a", "sum_k"] == 2
+    assert out.loc["a", "min_k"] == -3
+    assert out.loc["a", "max_k"] == 5
+    assert "b" not in out.index
