@@ -1583,23 +1583,44 @@ def neardup_components(sf_dir: str, n_parts: int = 8, max_iters: int = 12):
            .groupby("part", num_partitions=n_parts)
            .map_groups(labels, batch_format="pyarrow"))
 
-    # singleton docs: component = self
+    # Singleton docs get component = self.  The label table is tiny next
+    # to the corpus (only near-dup members appear in it), so it is
+    # assembled into one sorted lookup array inside a worker task and
+    # broadcast — a union + groupby(doc_id) over ALL docs would be a
+    # full-corpus exchange just to attach defaults (measured: that
+    # aggregate dominated this pipeline's wall time at sf0.1).
+    import ray
+
+    @ray.remote
+    def _assemble_labels(*tabs: pa.Table):
+        us = [np.asarray(t.column("doc_id"), dtype=np.int64)
+              for t in tabs if t.num_rows]
+        cs = [np.asarray(t.column("component"), dtype=np.int64)
+              for t in tabs if t.num_rows]
+        if not us:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        u = np.concatenate(us)
+        c = np.concatenate(cs)
+        order = np.argsort(u)
+        return u[order], c[order]
+
+    lab_ref = _assemble_labels.remote(*lab.to_arrow_refs())
     docs = _read(sf_dir, "documents", columns=["doc_id"])
 
-    def selfl(batch: pa.Table) -> pa.Table:
-        d = np.asarray(batch.column("doc_id"))
-        return pa.table({"doc_id": d, "component": d}, schema=_LABEL_SCHEMA)
+    def attach(batch: pa.Table) -> pa.Table:
+        keys, comps = ray.get(lab_ref)
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        comp = d.copy()
+        if len(keys):
+            pos = np.searchsorted(keys, d)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == d
+            comp[hit] = comps[pos[hit]]
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "component": pa.array(comp, pa.int64())},
+                        schema=_LABEL_SCHEMA)
 
-    from ray.data.aggregate import Min
-    ds = (docs.map_batches(selfl, batch_format="pyarrow").union(lab)
-          .groupby("doc_id").aggregate(Min("component")))
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "component": batch.column("min(component)").cast(pa.int64())})
-
-    return ds.map_batches(rename, batch_format="pyarrow")
+    return docs.map_batches(attach, batch_format="pyarrow")
 
 
 _ARGMAX_PARTIAL_SCHEMA = pa.schema([

@@ -325,7 +325,7 @@ def promo_revenue(sf_dir: str):
     return _scalar_reduce(ds, final, _PROMO_SCHEMA)
 
 
-_LARGE_PARTIAL = pa.schema([("l_orderkey", pa.int64()),
+_LARGE_PARTIAL = pa.schema([("li_orderkey", pa.int64()),
                             ("part_qty", pa.int64())])
 _LARGE_SCHEMA = pa.schema([
     ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
@@ -336,56 +336,46 @@ _LARGE_SCHEMA = pa.schema([
 def large_orders(sf_dir: str, threshold: int = 250, k: int = 50,
                  n_parts: int = 32):
     """TPC-H Q18 flavor: top-k largest orders by total line quantity
-    above a threshold.  Per-order quantities are pre-combined per batch
-    (integer-valued doubles -> exact int64), reduced with one groupby,
-    filtered to the qualifying tail, then joined back to orders with the
-    partitioned hash join — the qualifying side is tiny but arrives as a
-    Dataset, so the join (not a driver-side broadcast build) keeps the
-    plan fully streaming.  Local top-k folded into the join merge."""
+    above a threshold.  ONE shuffle: per-batch per-order quantity
+    partials (integer-valued doubles -> exact int64 combiner) flow
+    straight into the partitioned hash join with orders, and the
+    partition merge finishes the per-order sum, the HAVING filter and a
+    local top-k — a separate pre-join groupby().aggregate() would be a
+    second full exchange over O(orders) rows for nothing (measured 14.7 s
+    vs 2.3 s for the join itself at sf0.1)."""
     def li_partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
-            "l_orderkey": np.asarray(batch.column("l_orderkey")),
+            "li_orderkey": np.asarray(batch.column("l_orderkey")),
             "qty": np.asarray(batch.column("l_quantity")).astype(np.int64)})
-        g = df.groupby("l_orderkey", as_index=False) \
+        g = df.groupby("li_orderkey", as_index=False) \
             .agg(part_qty=("qty", "sum"))
         return _pd_table(g, _LARGE_PARTIAL)
 
-    from ray.data.aggregate import Sum
-    qty = _read_sized(sf_dir, "lineitem",
-                      columns=["l_orderkey", "l_quantity"]) \
-        .map_batches(li_partial, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Sum("part_qty"))
-
-    def qualify(batch: pa.Table) -> pa.Table:
-        s = np.asarray(batch.column("sum(part_qty)")).astype(np.int64)
-        keep = s > threshold
-        return pa.table({
-            "li_orderkey":
-                pa.array(np.asarray(batch.column("l_orderkey"))[keep],
-                         pa.int64()),
-            "sum_qty": pa.array(s[keep], pa.int64())})
-
-    qualified = qty.map_batches(qualify, batch_format="pyarrow")
+    partials = _read_sized(sf_dir, "lineitem",
+                           columns=["l_orderkey", "l_quantity"]) \
+        .map_batches(li_partial, batch_format="pyarrow")
     orders = _read_sized(sf_dir, "orders",
                          columns=["o_orderkey", "o_custkey",
                                   "o_orderdate", "o_totalprice"])
 
     def post(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            total_cents=_cents(df["o_totalprice"].to_numpy()),
-            sum_qty=df["sum_qty"].astype(np.int64))
-        return df.sort_values(["sum_qty", "o_orderkey"],
-                              ascending=[False, True]).head(k)
+        # all partials of an orderkey are co-located here: the in-merge
+        # sum is the exact global per-order quantity
+        g = df.groupby(["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"], as_index=False) \
+            .agg(sum_qty=("part_qty", "sum"))
+        g = g[g["sum_qty"] > threshold]
+        g = g.assign(total_cents=_cents(g["o_totalprice"].to_numpy()),
+                     sum_qty=g["sum_qty"].astype(np.int64))
+        return g.sort_values(["sum_qty", "o_orderkey"],
+                             ascending=[False, True]).head(k)
 
-    ds = hash_join(orders, qualified, "o_orderkey", "li_orderkey",
+    ds = hash_join(orders, partials, "o_orderkey", "li_orderkey",
                    n_parts=n_parts, merge_post=post,
                    post_schema=_LARGE_SCHEMA)
     return _global_topk(ds, ["sum_qty", "o_orderkey"], [False, True], k)
 
 
-_SMALLQ_AGG_PARTIAL = pa.schema([("pk", pa.int64()),
-                                 ("part_qty", pa.int64()),
-                                 ("part_n", pa.int64())])
 _SMALLQ_JOIN_SCHEMA = pa.schema([("part_cents", pa.int64()),
                                  ("part_rows", pa.int64())])
 _SMALLQ_SCHEMA = pa.schema([("revenue_cents", pa.int64()),
@@ -397,44 +387,40 @@ def small_qty_revenue(sf_dir: str, n_parts: int = 32):
     half their part's average quantity.  The per-part average is kept as
     an exact integer pair (sum, count) and the threshold test is the
     integer inequality ``2*qty*n < sum`` — no float average crosses the
-    engine boundary, so the filter is bit-exact vs SQL.  Shape: partial
-    per-part combine -> one groupby -> partitioned hash join back to
-    lineitem with the filter + scalar partial folded into the merge."""
-    def li_partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "pk": np.asarray(batch.column("l_partkey")),
-            "qty": np.asarray(batch.column("l_quantity")).astype(np.int64)})
-        g = df.groupby("pk", as_index=False).agg(
-            part_qty=("qty", "sum"), part_n=("qty", "size"))
-        return _pd_table(g, _SMALLQ_AGG_PARTIAL)
+    engine boundary, so the filter is bit-exact vs SQL.
 
-    from ray.data.aggregate import Sum
-    avg = _read_sized(sf_dir, "lineitem",
-                      columns=["l_partkey", "l_quantity"]) \
-        .map_batches(li_partial, batch_format="pyarrow") \
-        .groupby("pk").aggregate(Sum("part_qty"), Sum("part_n"))
+    ONE shuffle: lineitem is coarse-hash-partitioned on l_partkey (all
+    rows of a part co-located), and each partition group computes the
+    per-part sums, applies the integer filter and emits a one-row scalar
+    partial — the self-join formulation (pre-aggregate + hash join back
+    to lineitem) pays a second full exchange of the same table for
+    nothing."""
+    ds = _read_sized(sf_dir, "lineitem",
+                     columns=["l_partkey", "l_quantity",
+                              "l_extendedprice"])
 
-    def avg_rename(batch: pa.Table) -> pa.Table:
+    def per_part_filter(group: pa.Table) -> pa.Table:
+        pk = np.asarray(group.column("l_partkey"), dtype=np.int64)
+        qty = np.asarray(group.column("l_quantity")).astype(np.int64)
+        price = np.asarray(group.column("l_extendedprice"))
+        order = np.argsort(pk, kind="stable")
+        pk_s, qty_s, price_s = pk[order], qty[order], price[order]
+        # per-part (sum, count) via run boundaries on the sorted keys
+        run_id = np.cumsum(
+            np.concatenate(([0], (pk_s[1:] != pk_s[:-1]).astype(np.int64))))
+        sums = np.bincount(run_id, weights=qty_s).astype(np.int64)
+        counts = np.bincount(run_id).astype(np.int64)
+        keep = 2 * qty_s * counts[run_id] < sums[run_id]
+        cents = _cents(price_s[keep])
         return pa.table({
-            "pk": batch.column("pk").cast(pa.int64()),
-            "qty_sum": batch.column("sum(part_qty)").cast(pa.int64()),
-            "qty_n": batch.column("sum(part_n)").cast(pa.int64())})
+            "part_cents": pa.array([int(cents.sum())], pa.int64()),
+            "part_rows": pa.array([int(keep.sum())], pa.int64())},
+            schema=_SMALLQ_JOIN_SCHEMA)
 
-    avg = avg.map_batches(avg_rename, batch_format="pyarrow")
-    lineitem = _read_sized(sf_dir, "lineitem",
-                           columns=["l_partkey", "l_quantity",
-                                    "l_extendedprice"])
-
-    def post(df: pd.DataFrame) -> pd.DataFrame:
-        qty = df["l_quantity"].to_numpy().astype(np.int64)
-        keep = 2 * qty * df["qty_n"].to_numpy() < df["qty_sum"].to_numpy()
-        cents = _cents(df["l_extendedprice"].to_numpy()[keep])
-        return pd.DataFrame({"part_cents": [int(cents.sum())],
-                             "part_rows": [int(keep.sum())]})
-
-    joined = hash_join(lineitem, avg, "l_partkey", "pk",
-                       n_parts=n_parts, merge_post=post,
-                       post_schema=_SMALLQ_JOIN_SCHEMA)
+    parts = ds.map_batches(_hash_part("l_partkey", n_parts),
+                           batch_format="pyarrow") \
+        .groupby("part", num_partitions=n_parts) \
+        .map_groups(per_part_filter, batch_format="pyarrow")
 
     def final(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -445,7 +431,7 @@ def small_qty_revenue(sf_dir: str, n_parts: int = 32):
                 [int(np.asarray(batch.column("part_rows")).sum())],
                 pa.int64())}, schema=_SMALLQ_SCHEMA)
 
-    return _scalar_reduce(joined, final, _SMALLQ_SCHEMA)
+    return _scalar_reduce(parts, final, _SMALLQ_SCHEMA)
 
 
 _SUPPBAL_PARTIAL = pa.schema([("r_name", pa.string()),
