@@ -1706,9 +1706,12 @@ def contamination_check(sf_dir: str, bench_mod: int = 20):
     any 3-gram shingle with the held-out "benchmark" subset (doc_id %
     bench_mod == 0 stands in for an eval set).  Phase 1 builds the
     benchmark shingle set as 61-bit hash partials (one vectorized
-    shingle pass per batch), dedups with a groupby, and assembles the
-    sorted broadcast array in a WORKER task over block refs — the
-    driver never materializes a shingle.  Phase 2 streams the corpus
+    shingle pass per batch, per-batch unique) and dedups + sorts the
+    broadcast array in a WORKER task over block refs — the driver never
+    materializes a shingle, and no shuffle touches the shingle stream (a
+    groupby dedup here cost more than the whole corpus scan: the eval
+    side is small by framing, so the dedup belongs in the single
+    assemble task).  Phase 2 streams the corpus
     through one vectorized scoring kernel: batch-wide shingling
     (``shingles_flat``), sorted-array membership via searchsorted, and a
     lexsort-dedup + bincount for per-doc distinct-hit counts — no
@@ -1725,19 +1728,17 @@ def contamination_check(sf_dir: str, bench_mod: int = 20):
         return pa.table({"g": np.unique(sh)},
                         schema=_BENCH_SHINGLE_SCHEMA)
 
-    bench_ds = (ds.map_batches(bench_partial, batch_format="pyarrow")
-                .groupby("g").count())
+    bench_ds = ds.map_batches(bench_partial, batch_format="pyarrow")
 
     @ray.remote
     def _assemble(*tabs: pa.Table) -> np.ndarray:
-        # an empty groupby block can surface with an empty schema
         parts = [np.asarray(t.column("g"), dtype=np.uint64)
                  for t in tabs if "g" in t.column_names]
         if not parts:
             return np.empty(0, np.uint64)
-        return np.sort(np.concatenate(parts))
+        return np.unique(np.concatenate(parts))   # sorted + deduped
 
-    # block refs, concatenated + sorted inside a worker; the broadcast is
+    # block refs, deduped + sorted inside a worker; the broadcast is
     # one contiguous uint64 array (eval sets are tiny next to the corpus)
     bench_ref = _assemble.remote(*bench_ds.to_arrow_refs())
 
