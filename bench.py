@@ -28,6 +28,23 @@ SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "4096"))
 SCALE_N = int(os.environ.get("GRAFT_SCALE_N", "4"))
 
 
+def host_speed_probe() -> dict:
+    """Single-thread spin rate + 1-minute load average: a normalization
+    anchor for cross-round comparisons — this sandbox's host differs in
+    per-core speed between rounds and carries fluctuating co-tenant load
+    (observed 1.5-4x swings on identical code).  Units are arbitrary but
+    stable across rounds (iterations of a fixed Python loop in 0.5 s)."""
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 0.5:
+        x += 1
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = -1.0
+    return {"spin_iters_500ms": x, "loadavg_1m": round(load1, 2)}
+
+
 def _corpus(n_docs: int) -> str:
     from iesl_pdf_to_text_ray.sources.corpus import synthesize_pdf_corpus
     d = f"/tmp/graft_bench_corpus/n{n_docs}"
@@ -99,7 +116,8 @@ def main():
             "n_docs": SCALING_DOCS,
             f"throughput_{n_lo}cpu": r_lo["docs_per_sec"],
             f"throughput_{n_hi}cpu": r_hi["docs_per_sec"],
-            f"sec_{n_lo}cpu": r_lo["sec"], f"sec_{n_hi}cpu": r_hi["sec"]}))
+            f"sec_{n_lo}cpu": r_lo["sec"], f"sec_{n_hi}cpu": r_hi["sec"],
+            "host_probe": host_speed_probe()}))
         return
 
     if "--_extract-only" in sys.argv:
@@ -110,6 +128,7 @@ def main():
         return
 
     import ray
+    probe = host_speed_probe()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     extract = run_extract(NUM_CPUS, n_docs=32 * NUM_CPUS)
     queries = run_queries(SF_DIR)
@@ -121,7 +140,8 @@ def main():
         "queries": queries, "sf": SF_DIR, "num_cpus": NUM_CPUS,
         "extract_n_docs": extract["n_docs"],
         "extract_sec": extract["sec"],
-        "docs_per_sec": extract["docs_per_sec"]}))
+        "docs_per_sec": extract["docs_per_sec"],
+        "host_probe": probe}))
     ray.shutdown()
 
 
