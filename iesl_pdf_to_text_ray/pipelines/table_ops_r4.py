@@ -30,7 +30,8 @@ import pandas as pd
 import pyarrow as pa
 
 from .joins import _pd_table, hash_join
-from .table_ops import _cents, _global_topk, _read, _read_sized
+from .table_ops import (_cents, _global_topk, _partitioned_agg, _read,
+                        _read_sized)
 
 
 # ------------------------------------------------------------ helpers
@@ -218,10 +219,20 @@ def returned_items(sf_dir: str, k: int = 20, n_parts: int = 32):
     joined = hash_join(orders, lineitem, "o_orderkey", "l_orderkey",
                        n_parts=n_parts, merge_post=per_cust,
                        post_schema=_RET_JOIN_SCHEMA)
+
     # partition merge is per-orderkey-exact; customers span orders, so
-    # one more small groupby over the per-partition customer partials
-    from ray.data.aggregate import Sum
-    per_customer = joined.groupby("o_custkey").aggregate(Sum("part_cents"))
+    # one more coarse-partition reduce over the per-partition customer
+    # partials (a full-key-domain groupby here costs several times the
+    # join itself)
+    def cust_sum(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        g = df.groupby("o_custkey", as_index=False) \
+            .agg(revenue_cents=("part_cents", "sum"))
+        g["revenue_cents"] = g["revenue_cents"].astype(np.int64)
+        return _pd_table(g, pa.schema([("o_custkey", pa.int64()),
+                                       ("revenue_cents", pa.int64())]))
+
+    per_customer = _partitioned_agg(joined, "o_custkey", cust_sum)
 
     @ray.remote
     def _cust_maps(sf: str):
@@ -256,8 +267,8 @@ def returned_items(sf_dir: str, k: int = 20, n_parts: int = 32):
             "c_custkey": pa.array(cust, pa.int64()),
             "c_name": pa.array(m["cname"][pos], pa.string()),
             "n_name": pa.array(m["nnames"][m["cnat"][pos]], pa.string()),
-            "revenue_cents":
-                batch.column("sum(part_cents)").cast(pa.int64())},
+            "revenue_cents": batch.column("revenue_cents")
+                .cast(pa.int64())},
             schema=_RET_SCHEMA)
 
     ds = per_customer.map_batches(decorate, batch_format="pyarrow")
@@ -620,9 +631,9 @@ _FUNNEL_SCHEMA = pa.schema([
 def events_funnel(sf_dir: str):
     """Two-step funnel: users whose first click strictly precedes their
     first purchase.  Per-batch partial min timestamps per user (sentinel
-    for absent steps — Ray's Min then reduces both steps in ONE
-    groupby), then one-row count partials and a constant-size merge.
-    The shuffle carries <= one row per (user, batch)."""
+    for absent steps), ONE coarse-partition shuffle of the per-user
+    partials (all partials of a user co-located), per-partition count
+    partials, constant-size merge."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -640,13 +651,12 @@ def events_funnel(sf_dir: str):
             click_us=("click_us", "min"), purch_us=("purch_us", "min"))
         return _pd_table(g, _FUNNEL_PARTIAL)
 
-    from ray.data.aggregate import Min
-    per_user = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("user_id").aggregate(Min("click_us"), Min("purch_us"))
-
-    def counts(batch: pa.Table) -> pa.Table:
-        click = np.asarray(batch.column("min(click_us)"))
-        purch = np.asarray(batch.column("min(purch_us)"))
+    def counts(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        g = df.groupby("user_id").agg(
+            click_us=("click_us", "min"), purch_us=("purch_us", "min"))
+        click = g["click_us"].to_numpy()
+        purch = g["purch_us"].to_numpy()
         clicked = click < _SENTINEL
         purchased = purch < _SENTINEL
         converted = clicked & purchased & (click < purch)
@@ -668,8 +678,10 @@ def events_funnel(sf_dir: str):
                 [int(np.asarray(batch.column("part_converted")).sum())],
                 pa.int64())}, schema=_FUNNEL_SCHEMA)
 
-    ds = per_user.map_batches(counts, batch_format="pyarrow")
-    return _scalar_reduce(ds, final, _FUNNEL_SCHEMA)
+    parts = _partitioned_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id", counts)
+    return _scalar_reduce(parts, final, _FUNNEL_SCHEMA)
 
 
 _DAU_SCHEMA = pa.schema([("day", pa.string()), ("n_users", pa.int64())])
