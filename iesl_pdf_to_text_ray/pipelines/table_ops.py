@@ -1321,19 +1321,22 @@ def quantile_stats(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
         return _pd_table(df, _QUANT_PARTIAL_SCHEMA)
 
     ds = ds.map_batches(partial, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-    ds = ds.groupby(["lang", "n_chars"]).aggregate(Sum("part_n"))
 
+    # ONE shuffle: the rank pick needs all of a lang's value counts in
+    # one place anyway, so the (lang, value) partial merge folds into the
+    # same per-lang group instead of paying a separate two-key groupby
     def pick(group: pa.Table) -> pa.Table:
         import math
-        df = group.to_pandas().sort_values("n_chars")
-        cum = df["sum(part_n)"].to_numpy().cumsum()
+        df = (group.to_pandas().groupby("n_chars", as_index=False)
+              .agg(n=("part_n", "sum")).sort_values("n_chars"))
+        cum = df["n"].to_numpy().cumsum()
         n = int(cum[-1])
         vals = df["n_chars"].to_numpy()
+        lang = group.column("lang")[0].as_py()
         rows = {"lang": [], "quantile": [], "n_chars": []}
         for q in qs:
             idx = int(np.searchsorted(cum, math.ceil(q * n)))
-            rows["lang"].append(df["lang"].iloc[0])
+            rows["lang"].append(lang)
             rows["quantile"].append(float(q))
             rows["n_chars"].append(int(vals[idx]))
         return pa.table(rows, schema=_QUANT_SCHEMA)
@@ -1469,16 +1472,21 @@ def ngram_topk(sf_dir: str, k: int = 20):
                         schema=_BIGRAM_PARTIAL_SCHEMA)
 
     ds = ds.map_batches(partial, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-    ds = ds.groupby("bigram").aggregate(Sum("part_n"))
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({"bigram": batch.column("bigram"),
-                         "n": batch.column("sum(part_n)").cast(pa.int64())})
+    # ONE coarse-partition shuffle of the per-batch partials: all rows
+    # of a bigram land in one partition, so the in-partition sum is the
+    # final count and the per-partition top-k is a lossless partial —
+    # never a full-vocabulary-key sort, never a global sort for k rows
+    def count_topk(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        g = df.groupby("bigram", as_index=False).agg(n=("part_n", "sum"))
+        g["n"] = g["n"].astype(np.int64)
+        g = g.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+        return _pd_table(g[["bigram", "n"]],
+                         pa.schema([("bigram", pa.string()),
+                                    ("n", pa.int64())]))
 
-    ds = ds.map_batches(rename, batch_format="pyarrow")
-    # post-groupby counts are final, so per-block top-k is lossless —
-    # no global sort over the O(vocabulary)-row distinct-bigram table
+    ds = _partitioned_agg(ds, "bigram", count_topk)
     return _global_topk(ds, ["n", "bigram"], [False, True], k)
 
 
