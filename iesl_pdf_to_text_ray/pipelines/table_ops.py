@@ -11,6 +11,7 @@ dedup/ANN (never all-pairs).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 
@@ -250,6 +251,18 @@ def langid_predict(sf_dir: str):
 
 # ------------------------------------------------------------------- dedup
 
+def _pair_dedup_group(group: pa.Table, val_col: str) -> pa.Table:
+    """In-partition (doc_a, doc_b) pair dedup keeping the max value —
+    exact because the partition key hashes doc_a."""
+    schema = pa.schema([("doc_a", group.schema.field("doc_a").type),
+                        ("doc_b", group.schema.field("doc_b").type),
+                        (val_col, pa.float64())])
+    df = group.to_pandas()
+    g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+        **{val_col: (val_col, "max")})
+    return _pd_table(g[["doc_a", "doc_b", val_col]], schema)
+
+
 def dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup pairs: shingle->signature->band buckets->verify."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -260,15 +273,12 @@ def dedup_minhash(sf_dir: str):
     # Python call per mostly-singleton bucket
     ds = ds.groupby("part").map_groups(
         dd.bucket_pairs_partition, batch_format="pyarrow")
-    # dedupe pairs discovered in multiple bands
-    from ray.data.aggregate import Max
-    ds = ds.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard_est"))
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_a": batch.column("doc_a"),
-                         "doc_b": batch.column("doc_b"),
-                         "jaccard_est": batch.column("max(jaccard_est)")})
-    return ds.map_batches(rename, batch_format="pyarrow")
+    # dedupe pairs discovered in multiple bands: partition on doc_a
+    # (co-locates every (doc_a, doc_b) pair) instead of a full
+    # pair-key-domain groupby
+    return _partitioned_agg(ds, "doc_a",
+                            functools.partial(_pair_dedup_group,
+                                              val_col="jaccard_est"))
 
 
 def dedup_simhash(sf_dir: str):
@@ -286,15 +296,11 @@ def dedup_ngram_jaccard(sf_dir: str):
     ds = ds.groupby("part").map_groups(dd.prefix_pairs_partition,
                                        batch_format="pyarrow")
     # a qualifying pair can surface in several prefix buckets; jaccard is
-    # identical everywhere, so Max is a pure dedup
-    from ray.data.aggregate import Max
-    ds = ds.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard"))
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_a": batch.column("doc_a"),
-                         "doc_b": batch.column("doc_b"),
-                         "jaccard": batch.column("max(jaccard)")})
-    return ds.map_batches(rename, batch_format="pyarrow")
+    # identical everywhere, so max-per-pair is a pure dedup (partitioned
+    # on doc_a, which co-locates every (doc_a, doc_b) pair)
+    return _partitioned_agg(ds, "doc_a",
+                            functools.partial(_pair_dedup_group,
+                                              val_col="jaccard"))
 
 
 # --------------------------------------------------------------------- ANN
