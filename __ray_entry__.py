@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": table_ops_r4.label_centroids,
         "ann_lsh": table_ops_r4.ann_lsh,
         "events_props_stats": table_ops_r4.events_props_stats,
+        "knn_classify": table_ops_r4.knn_classify,
     }
 
 
@@ -1110,6 +1111,34 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(embedding[i]::DOUBLE), 6) AS avg_val
             FROM embeddings, generate_series(1, 64) t(i)
             GROUP BY 1, 2
+        """,
+        "knn_classify": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id < 8),
+                 scored AS (
+                   SELECT q.vec_id AS query_id,
+                          e.vec_id AS neighbor_id,
+                          e.label AS nlabel,
+                          round(list_cosine_similarity(
+                              q.embedding::DOUBLE[],
+                              e.embedding::DOUBLE[]), 6) AS sim
+                   FROM q, embeddings e WHERE e.vec_id <> q.vec_id),
+                 topk AS (
+                   SELECT query_id, nlabel FROM (
+                     SELECT query_id, nlabel,
+                            row_number() OVER (
+                                PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rn
+                     FROM scored) WHERE rn <= 10),
+                 votes AS (
+                   SELECT query_id, nlabel, count(*) AS c
+                   FROM topk GROUP BY query_id, nlabel)
+            SELECT query_id,
+                   CAST(nlabel AS BIGINT) AS pred_label,
+                   CAST(c AS BIGINT) AS n_votes
+            FROM votes
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY c DESC, nlabel ASC) = 1
         """,
         "events_props_stats": """
             SELECT event_type,

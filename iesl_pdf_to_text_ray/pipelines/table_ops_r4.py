@@ -935,3 +935,60 @@ def events_props_stats(sf_dir: str):
             schema=_PROPS_SCHEMA)
 
     return ds.map_batches(rename, batch_format="pyarrow")
+
+
+_KNN_SCHEMA = pa.schema([
+    ("query_id", pa.int64()), ("pred_label", pa.int64()),
+    ("n_votes", pa.int64())])
+
+
+def knn_classify(sf_dir: str, n_queries: int = 8, k: int = 10):
+    """k-NN classification over the embedding table: each query vector's
+    label is predicted by majority vote of its k exact cosine neighbors
+    (tie -> smaller label; self-matches excluded).  Rides the
+    ann_bruteforce kernel — broadcast queries, per-batch partial top-k,
+    one per-query merge — plus a broadcast id->label lookup for the
+    vote, so the only shuffle carries <= k rows per (query, block)."""
+    import functools
+
+    import ray
+
+    from ..functions import ann as annf
+    from .table_ops import _load_queries, _read
+
+    @ray.remote
+    def _labels(sf: str):
+        import pyarrow.parquet as pq
+        t = pq.read_table(os.path.join(sf, "embeddings.parquet"),
+                          columns=["vec_id", "label"])
+        ids = np.asarray(t.column("vec_id"), dtype=np.int64)
+        order = np.argsort(ids)
+        return ids[order], np.asarray(t.column("label"),
+                                      dtype=np.int64)[order]
+
+    labels_ref = _labels.remote(sf_dir)
+    queries_ref = ray.put(_load_queries(sf_dir, n_queries))
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(annf.BruteForcePartialTopK,
+                        fn_constructor_args=(queries_ref, k),
+                        batch_format="pyarrow", batch_size=512,
+                        concurrency=(1, 4))
+
+    def vote(group: pa.Table) -> pa.Table:
+        merged = annf.merge_topk_group(group, k)
+        ids, labs = ray.get(labels_ref)
+        neigh = np.asarray(merged.column("neighbor_id"), dtype=np.int64)
+        votes = labs[np.searchsorted(ids, neigh)]
+        uniq, counts = np.unique(votes, return_counts=True)
+        # majority; ties -> smaller label (np.unique returns sorted
+        # labels and argmax takes the first maximum)
+        best = int(np.argmax(counts))
+        qid = merged.column("query_id")[0].as_py()
+        return pa.table({
+            "query_id": pa.array([qid], pa.int64()),
+            "pred_label": pa.array([int(uniq[best])], pa.int64()),
+            "n_votes": pa.array([int(counts[best])], pa.int64())},
+            schema=_KNN_SCHEMA)
+
+    return ds.groupby("query_id", num_partitions=n_queries).map_groups(
+        vote, batch_format="pyarrow")

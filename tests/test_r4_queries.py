@@ -290,3 +290,25 @@ def test_events_props_stats_malformed_rows_dropped(ray_session, tmp_path):
     assert out.loc["a", "min_k"] == -3
     assert out.loc["a", "max_k"] == 5
     assert "b" not in out.index
+
+
+def test_knn_classify_oracle(ray_session):
+    _assert_matches_oracle("knn_classify")
+
+
+def test_knn_classify_majority_semantics(ray_session):
+    """Prediction equals the plurality label of the exact top-10
+    neighbors (ties -> smaller label), computed independently."""
+    from iesl_pdf_to_text_ray.pipelines.table_ops import ann_bruteforce
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r4 import knn_classify
+    exact = _pd(ann_bruteforce(SF, n_queries=4, k=10))
+    labels = pq.read_table(f"{SF}/embeddings.parquet",
+                           columns=["vec_id", "label"]).to_pandas() \
+        .set_index("vec_id")["label"]
+    out = _pd(knn_classify(SF, n_queries=4, k=10)).set_index("query_id")
+    for qid, grp in exact.groupby("query_id"):
+        votes = labels.loc[grp["neighbor_id"]].value_counts()
+        top = votes.max()
+        want = min(l for l, c in votes.items() if c == top)
+        assert out.loc[qid, "pred_label"] == want
+        assert out.loc[qid, "n_votes"] == top
