@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": table_ops_r4.ann_lsh,
         "events_props_stats": table_ops_r4.events_props_stats,
         "knn_classify": table_ops_r4.knn_classify,
+        "events_retention": table_ops_r4.events_retention,
     }
 
 
@@ -1111,6 +1112,23 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(embedding[i]::DOUBLE), 6) AS avg_val
             FROM embeddings, generate_series(1, 64) t(i)
             GROUP BY 1, 2
+        """,
+        "events_retention": """
+            WITH act AS (SELECT DISTINCT user_id,
+                                date_trunc('day', ts) AS day
+                         FROM events),
+                 fd AS (SELECT user_id, min(day) AS f
+                        FROM act GROUP BY user_id)
+            SELECT strftime(fd.f, '%Y-%m-%d') AS cohort_day,
+                   count(*)::BIGINT AS n_users,
+                   count(a1.user_id)::BIGINT AS retained_d1,
+                   count(a7.user_id)::BIGINT AS retained_d7
+            FROM fd
+            LEFT JOIN act a1 ON a1.user_id = fd.user_id
+                            AND a1.day = fd.f + INTERVAL 1 DAY
+            LEFT JOIN act a7 ON a7.user_id = fd.user_id
+                            AND a7.day = fd.f + INTERVAL 7 DAY
+            GROUP BY fd.f
         """,
         "knn_classify": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings

@@ -992,3 +992,78 @@ def knn_classify(sf_dir: str, n_queries: int = 8, k: int = 10):
 
     return ds.groupby("query_id", num_partitions=n_queries).map_groups(
         vote, batch_format="pyarrow")
+
+
+_RETENTION_PARTIAL = pa.schema([
+    ("cohort_day", pa.string()), ("part_users", pa.int64()),
+    ("part_d1", pa.int64()), ("part_d7", pa.int64())])
+_RETENTION_SCHEMA = pa.schema([
+    ("cohort_day", pa.string()), ("n_users", pa.int64()),
+    ("retained_d1", pa.int64()), ("retained_d7", pa.int64())])
+
+
+def events_retention(sf_dir: str):
+    """Cohort retention: users grouped by their first active day; how
+    many returned exactly 1 and 7 days later.  Per-batch distinct
+    (user, day) pairs are the combiner; ONE coarse-partition shuffle
+    co-locates each user's day set; the per-partition kernel finds each
+    user's first day and membership of first+1 / first+7 vectorized
+    (searchsorted over the partition's sorted pair list) and emits
+    per-cohort partials, so the final groupby touches O(days) rows."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        days = np.asarray(batch.column("ts")) \
+            .astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({"user_id": np.asarray(batch.column("user_id")),
+                           "day": days}).drop_duplicates()
+        return _pd_table(df, pa.schema([("user_id", pa.int64()),
+                                        ("day", pa.int64())]))
+
+    def cohort_partial(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()[["user_id", "day"]].drop_duplicates()
+        uid = df["user_id"].to_numpy()
+        day = df["day"].to_numpy()
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        # first row of each user run = first active day
+        first = np.concatenate(([True], uid[1:] != uid[:-1]))
+        f_uid, f_day = uid[first], day[first]
+
+        def returned(offset: int) -> np.ndarray:
+            # membership test of (user, first+offset) in the sorted pairs
+            key = uid.astype(np.int64) * np.int64(1 << 20) + day
+            probe = f_uid.astype(np.int64) * np.int64(1 << 20) \
+                + f_day + offset
+            pos = np.searchsorted(key, probe)
+            pos[pos == len(key)] = 0
+            return key[pos] == probe
+
+        g = pd.DataFrame({
+            "cohort": f_day,
+            "d1": returned(1).astype(np.int64),
+            "d7": returned(7).astype(np.int64)})
+        out = g.groupby("cohort").agg(
+            part_users=("d1", "size"), part_d1=("d1", "sum"),
+            part_d7=("d7", "sum")).reset_index()
+        out["cohort_day"] = pd.to_datetime(
+            out["cohort"], unit="D").dt.strftime("%Y-%m-%d")
+        out = out[["cohort_day", "part_users", "part_d1", "part_d7"]]
+        return _pd_table(out, _RETENTION_PARTIAL)
+
+    from ray.data.aggregate import Sum
+    parts = _partitioned_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        "user_id", cohort_partial)
+    ds = parts.groupby("cohort_day").aggregate(
+        Sum("part_users"), Sum("part_d1"), Sum("part_d7"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day": batch.column("cohort_day"),
+            "n_users": batch.column("sum(part_users)").cast(pa.int64()),
+            "retained_d1": batch.column("sum(part_d1)").cast(pa.int64()),
+            "retained_d7": batch.column("sum(part_d7)").cast(pa.int64())},
+            schema=_RETENTION_SCHEMA)
+
+    return ds.map_batches(rename, batch_format="pyarrow")

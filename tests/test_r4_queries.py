@@ -312,3 +312,35 @@ def test_knn_classify_majority_semantics(ray_session):
         want = min(l for l, c in votes.items() if c == top)
         assert out.loc[qid, "pred_label"] == want
         assert out.loc[qid, "n_votes"] == top
+
+
+def test_events_retention_oracle(ray_session):
+    _assert_matches_oracle("events_retention")
+
+
+def test_events_retention_synthetic(ray_session, tmp_path):
+    """Hand-built cohorts: day-1 and day-7 returns counted per first
+    active day; same-day repeats don't inflate."""
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r4 import events_retention
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pd.Timestamp("2024-03-01")
+    day = pd.Timedelta(days=1)
+    rows = [  # (user, day offset from t)
+        (1, 0), (1, 0), (1, 1),          # cohort 03-01, returns d1
+        (2, 0), (2, 7),                  # cohort 03-01, returns d7
+        (3, 0),                          # cohort 03-01, no return
+        (4, 2), (4, 3), (4, 9),          # cohort 03-03, returns d1 + d7
+    ]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([t + r[1] * day for r in rows],
+                       pa.timestamp("us"))}),
+        str(d / "events.parquet"))
+    out = _pd(events_retention(str(d))).set_index("cohort_day")
+    assert out.loc["2024-03-01", "n_users"] == 3
+    assert out.loc["2024-03-01", "retained_d1"] == 1
+    assert out.loc["2024-03-01", "retained_d7"] == 1
+    assert out.loc["2024-03-03", "n_users"] == 1
+    assert out.loc["2024-03-03", "retained_d1"] == 1
+    assert out.loc["2024-03-03", "retained_d7"] == 1
