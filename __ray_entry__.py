@@ -427,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": table_ops_r4.events_props_stats,
         "knn_classify": table_ops_r4.knn_classify,
         "events_retention": table_ops_r4.events_retention,
+        "neardup_degree": table_ops_r4.neardup_degree,
     }
 
 
@@ -1112,6 +1113,33 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(embedding[i]::DOUBLE), 6) AS avg_val
             FROM embeddings, generate_series(1, 64) t(i)
             GROUP BY 1, 2
+        """,
+        "neardup_degree": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     len(list_intersect(a.s, b.s))::DOUBLE AS inter,
+                     (len(a.s) + len(b.s)
+                      - len(list_intersect(a.s, b.s)))::DOUBLE AS un
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+            qual AS (
+              SELECT doc_a, doc_b, round(inter / un, 6) AS jaccard
+              FROM pairs WHERE inter / un >= 0.4),
+            sides AS (
+              SELECT doc_a AS doc_id, jaccard FROM qual
+              UNION ALL
+              SELECT doc_b AS doc_id, jaccard FROM qual)
+            SELECT doc_id, count(*)::BIGINT AS degree,
+                   max(jaccard) AS max_jaccard
+            FROM sides GROUP BY doc_id
         """,
         "events_retention": """
             WITH act AS (SELECT DISTINCT user_id,

@@ -1067,3 +1067,39 @@ def events_retention(sf_dir: str):
             schema=_RETENTION_SCHEMA)
 
     return ds.map_batches(rename, batch_format="pyarrow")
+
+
+_DEGREE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("degree", pa.int64()),
+    ("max_jaccard", pa.float64())])
+
+
+def neardup_degree(sf_dir: str):
+    """Near-duplicate graph statistics: each document's degree (number
+    of >= 0.4-Jaccard partners) and its strongest similarity — the
+    triage view that decides KEEP / REVIEW / DROP in a dedup pass.
+    Reuses the exact prefix-join pair table; pairs explode to both
+    endpoints per batch and reduce through one coarse-partition pass, so
+    the cost beyond the pair join is O(pairs)."""
+    from .table_ops import dedup_ngram_jaccard
+    pairs = dedup_ngram_jaccard(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("doc_a"), dtype=np.int64)
+        b = np.asarray(batch.column("doc_b"), dtype=np.int64)
+        j = np.asarray(batch.column("jaccard"))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+            "jaccard": pa.array(np.concatenate([j, j]), pa.float64())})
+
+    def reduce(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        g = df.groupby("doc_id", as_index=False).agg(
+            degree=("jaccard", "size"), max_jaccard=("jaccard", "max"))
+        g["degree"] = g["degree"].astype(np.int64)
+        return _pd_table(g[["doc_id", "degree", "max_jaccard"]],
+                         _DEGREE_SCHEMA)
+
+    return _partitioned_agg(
+        pairs.map_batches(explode, batch_format="pyarrow"),
+        "doc_id", reduce)

@@ -344,3 +344,19 @@ def test_events_retention_synthetic(ray_session, tmp_path):
     assert out.loc["2024-03-03", "n_users"] == 1
     assert out.loc["2024-03-03", "retained_d1"] == 1
     assert out.loc["2024-03-03", "retained_d7"] == 1
+
+
+def test_neardup_degree_oracle(ray_session):
+    _assert_matches_oracle("neardup_degree")
+
+
+def test_neardup_degree_consistent_with_pairs(ray_session):
+    """Degree equals each doc's appearance count in the pair table."""
+    from iesl_pdf_to_text_ray.pipelines.table_ops import dedup_ngram_jaccard
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r4 import neardup_degree
+    pairs = _pd(dedup_ngram_jaccard(SF))
+    deg = _pd(neardup_degree(SF)).set_index("doc_id")
+    counts = pd.concat([pairs["doc_a"], pairs["doc_b"]]).value_counts()
+    assert len(deg) == len(counts)
+    for doc, c in counts.items():
+        assert deg.loc[doc, "degree"] == c
