@@ -49,6 +49,35 @@ def extract_corpus_query(sf_dir: str):
     return ds.map_batches(summarize, batch_format="pyarrow")
 
 
+def extract_html_corpus_query(sf_dir: str):
+    """North-rule HTML leg: boilerplate-stripped main-content spans
+    (text + media interleaved) from the deterministic synthetic web
+    corpus — same (doc_id, spans) model as the PDF path, so downstream
+    operators run unchanged on web documents.  Rows-only (DuckDB has no
+    HTML parser); exact span recovery is pinned in
+    tests/test_html_extract.py."""
+    import pyarrow as pa
+    from iesl_pdf_to_text_ray.sources.html_corpus import \
+        synthesize_html_corpus
+    from iesl_pdf_to_text_ray.stages.html_extract import (
+        extract_html_dataset, spans_digest)
+    d = os.path.join(_CORPUS_CACHE, "html_n32")
+    if not os.path.exists(os.path.join(d, "part-00000.parquet")):
+        synthesize_html_corpus(d, n_docs=32, n_shards=4)
+    ds = extract_html_dataset(d, concurrency=(1, 4), batch_size=8)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+            "n_spans": pa.array([r["n_spans"] for r in rows], pa.int32()),
+            "n_text": pa.array([r["n_text"] for r in rows], pa.int32()),
+            "n_media": pa.array([r["n_media"] for r in rows], pa.int32()),
+            "digest": pa.array([spans_digest(r["spans"]) for r in rows],
+                               pa.string())})
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
 def extract_corpus_ranged_query(sf_dir: str):
     """Extraction through the range-read path (pdf/chunked_data.py, the
     reference ChunkedStream/NetworkPdfManager analog): raw .pdf files on
@@ -345,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_corpus_split": extract_corpus_split_query,
         "extract_corpus_chunked": extract_corpus_chunked_query,
         "extract_corpus_ranged": extract_corpus_ranged_query,
+        "extract_html_corpus": extract_html_corpus_query,
         "spans_normalize": spans_ops.spans_pipeline,
         # dedup family
         "dedup_exact": table_ops.dedup_exact,
@@ -440,6 +470,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 #     DuckDB views; correctness is enforced instead by golden
 #     span-sequence equality in tests/test_golden.py (4/4 docs exact) and
 #     the split-path digest-equality test.
+#   extract_html_corpus — HTML main-content extraction; DuckDB has no
+#     HTML parser, so no SQL expression exists; exact span recovery
+#     against the generator's planted content is pinned in
+#     tests/test_html_extract.py.
 #   dedup_minhash — 64 seeded random permutations over 61-bit shingle
 #     hashes (wraparound uint64 arithmetic); DuckDB integer ops trap on
 #     overflow, so the signatures are not reproducible in SQL.  Validated
