@@ -474,6 +474,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 #     HTML parser, so no SQL expression exists; exact span recovery
 #     against the generator's planted content is pinned in
 #     tests/test_html_extract.py.
+#   distinct_users_hll — HyperLogLog sketch: approximate by design (like
+#     pricing_quantiles_sketch); the register construction is not
+#     SQL-reproducible; error vs the exact distinct_users (which has a
+#     full oracle) is pinned in tests.
 #   dedup_minhash — 64 seeded random permutations over 61-bit shingle
 #     hashes (wraparound uint64 arithmetic); DuckDB integer ops trap on
 #     overflow, so the signatures are not reproducible in SQL.  Validated
