@@ -366,7 +366,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from iesl_pdf_to_text_ray.pipelines import (spans_ops, table_ops,
-                                                table_ops_r4)
+                                                table_ops_r4,
+                                                table_ops_r4b)
 
     return {
         # extraction engine (non-SQL; golden-verified via pytest)
@@ -458,6 +459,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify": table_ops_r4.knn_classify,
         "events_retention": table_ops_r4.events_retention,
         "neardup_degree": table_ops_r4.neardup_degree,
+        # round-4b pack: training-data preparation surface (chunking,
+        # repetition screen, PII scrub), bracket join, trade balance,
+        # anomaly scan, interleaved-spans gallery, HTML block census
+        "doc_chunks": table_ops_r4b.doc_chunks,
+        "token_diversity": table_ops_r4b.token_diversity,
+        "pii_scrub": table_ops_r4b.pii_scrub,
+        "discount_bracket_revenue":
+            table_ops_r4b.discount_bracket_revenue,
+        "nation_trade_balance": table_ops_r4b.nation_trade_balance,
+        "events_anomaly": table_ops_r4b.events_anomaly,
+        "spans_media_gallery": table_ops_r4b.spans_media_gallery,
+        "html_block_stats": table_ops_r4b.html_block_stats,
     }
 
 
@@ -496,6 +509,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 #     (numpy half-to-even) is not reproducible in DuckDB SQL (round is
 #     half-away), so cross-engine value equality cannot hold; recall vs
 #     ann_bruteforce is pinned in tests instead.
+#   html_block_stats — per-block boilerplate classification over the
+#     synthetic HTML corpus; DuckDB has no HTML/DOM parser, so no SQL
+#     expression exists; the label census is pinned in
+#     tests/test_r4b_ops.py against the corpus generator's known page
+#     structure.
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": """
@@ -1234,5 +1252,128 @@ def oracle_sql() -> dict[str, str]:
                    max(json_extract(props, '$.k')::BIGINT)::BIGINT
                        AS max_k
             FROM events GROUP BY event_type
+        """,
+        "doc_chunks": """
+            WITH base AS (
+              SELECT doc_id::VARCHAR AS doc_id,
+                     regexp_extract_all(text, '\\S+') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, (len(toks) + 63) // 64 - 1))
+                         AS ci
+              FROM base WHERE len(toks) > 0)
+            SELECT doc_id,
+                   ci::INT AS chunk_idx,
+                   least(64, len(toks) - ci * 64)::INT AS n_tokens,
+                   md5(array_to_string(toks[ci * 64 + 1 : (ci + 1) * 64],
+                                       ' ')) AS chunk_md5
+            FROM c
+        """,
+        "token_diversity": """
+            WITH t AS (
+              SELECT doc_id::VARCHAR AS doc_id,
+                     unnest(regexp_extract_all(text, '\\S+')) AS tok
+              FROM documents),
+            cnt AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM t GROUP BY doc_id, tok)
+            SELECT doc_id,
+                   sum(c)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_distinct,
+                   max(c)::BIGINT AS top_count
+            FROM cnt GROUP BY doc_id
+        """,
+        "pii_scrub": """
+            WITH aug AS (
+              SELECT doc_id::VARCHAR AS doc_id,
+                     CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                                   ::UBIGINT % 7 = 0
+                          THEN text || ' contact user' || doc_id::VARCHAR
+                               || '@example.com now'
+                          ELSE text END AS t
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(
+                       t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                       ))::INT AS n_redacted,
+                   md5(regexp_replace(
+                       t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g')) AS clean_md5
+            FROM aug
+        """,
+        "discount_bracket_revenue": """
+            WITH j AS (
+              SELECT l_extendedprice * (1 - l_discount) AS rev,
+                     l_quantity AS qty,
+                     CAST(str_split(p_brand, '#')[2] AS BIGINT) AS b,
+                     p_size AS s
+              FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT CAST(sum(CAST(floor(abs(rev * 100) + 0.5) * sign(rev)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*)::BIGINT AS n_items
+            FROM j
+            WHERE (b <= 8 AND s <= 10 AND qty <= 15)
+               OR (b > 8 AND b <= 16 AND s <= 20
+                   AND qty >= 10 AND qty <= 30)
+               OR (b > 16 AND s <= 30 AND qty >= 25)
+        """,
+        "nation_trade_balance": """
+            WITH c AS (
+              SELECT c_nationkey AS nk, count(*) AS n,
+                     sum(CAST(floor(abs(c_acctbal * 100) + 0.5)
+                              * sign(c_acctbal) AS BIGINT)) AS cents
+              FROM customer GROUP BY c_nationkey),
+            s AS (
+              SELECT s_nationkey AS nk, count(*) AS n,
+                     sum(CAST(floor(abs(s_acctbal * 100) + 0.5)
+                              * sign(s_acctbal) AS BIGINT)) AS cents
+              FROM supplier GROUP BY s_nationkey)
+            SELECT n_name,
+                   coalesce(c.n, 0)::BIGINT AS n_customers,
+                   coalesce(c.cents, 0)::BIGINT AS customer_cents,
+                   coalesce(s.n, 0)::BIGINT AS n_suppliers,
+                   coalesce(s.cents, 0)::BIGINT AS supplier_cents
+            FROM nation LEFT JOIN c ON n_nationkey = c.nk
+                        LEFT JOIN s ON n_nationkey = s.nk
+        """,
+        "events_anomaly": """
+            WITH u AS (
+              SELECT user_id, count(*)::DOUBLE AS n,
+                     sum(value) AS s1, sum(value * value) AS s2
+              FROM events GROUP BY user_id),
+            f AS (
+              SELECT e.event_type,
+                     CASE WHEN (e.value - u.s1 / u.n)
+                               * (e.value - u.s1 / u.n)
+                              > 9.0 * (u.s2 / u.n
+                                       - (u.s1 / u.n) * (u.s1 / u.n))
+                          THEN 1 ELSE 0 END AS o
+              FROM events e JOIN u USING (user_id))
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   sum(o)::BIGINT AS n_outliers
+            FROM f GROUP BY event_type
+        """,
+        "spans_media_gallery": """
+            WITH base AS (
+              SELECT doc_id::VARCHAR AS doc_id,
+                     len(regexp_extract_all(text, '\\S+')) AS nt
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, unnest(generate_series(0, (nt + 4) // 5 - 1))
+                         AS c
+              FROM base WHERE nt > 0),
+            m AS (
+              SELECT doc_id, c,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY c) AS ctr
+              FROM chunks
+              WHERE ('0x' || substr(md5(doc_id || ':' || c), 1, 8))
+                        ::UBIGINT % 12 = 0)
+            SELECT doc_id,
+                   'img_p' || (c // 8)::VARCHAR || '_' || ctr::VARCHAR
+                       AS media_ref,
+                   (c + ctr - 1)::INT AS "offset"
+            FROM m
         """,
     }
