@@ -471,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly": table_ops_r4b.events_anomaly,
         "spans_media_gallery": table_ops_r4b.spans_media_gallery,
         "html_block_stats": table_ops_r4b.html_block_stats,
+        "corpus_curation": table_ops_r4b.corpus_curation,
     }
 
 
@@ -1375,5 +1376,30 @@ def oracle_sql() -> dict[str, str]:
                        AS media_ref,
                    (c + ctr - 1)::INT AS "offset"
             FROM m
+        """,
+        "corpus_curation": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+'))
+                         AS tok
+              FROM documents),
+            cnt AS (
+              SELECT doc_id, sum(c) AS nt, max(c) AS topc
+              FROM (SELECT doc_id, tok, count(*) AS c
+                    FROM toks GROUP BY doc_id, tok)
+              GROUP BY doc_id),
+            keep AS (
+              SELECT d.doc_id, d.lang, d.n_chars, md5(d.text) AS h
+              FROM documents d JOIN cnt USING (doc_id)
+              WHERE d.n_chars >= 100
+                AND 5 * cnt.topc <= cnt.nt
+                AND d.lang <> 'zh'),
+            uniq AS (
+              SELECT h, min(doc_id) AS doc_id FROM keep GROUP BY h)
+            SELECT k.lang,
+                   count(*)::BIGINT AS n_docs,
+                   sum(k.n_chars)::BIGINT AS total_chars
+            FROM uniq u JOIN keep k
+                 ON u.doc_id = k.doc_id AND u.h = k.h
+            GROUP BY k.lang
         """,
     }

@@ -472,3 +472,77 @@ def html_block_stats(sf_dir: str, corpus_dir: str | None = None):
             schema=_HTML_BLOCK_SCHEMA)
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+# --------------------------------------------------- curation composite
+
+_CURATE_PARTIAL = pa.schema([
+    ("lang", pa.string()), ("part_n", pa.int64()),
+    ("part_chars", pa.int64())])
+
+
+def corpus_curation(sf_dir: str, min_chars: int = 100,
+                    max_top_frac5: int = 5, drop_lang: str = "zh",
+                    n_parts: int = 32):
+    """The canonical training-data curation chain as ONE streaming
+    pipeline: quality screen (length + Gopher top-unigram mass, stated
+    as the integer cross-product ``5 * top_count <= n_tokens`` so no
+    float rule exists) -> language allowlist -> exact dedup (min doc_id
+    per content hash) -> per-language corpus stats.  One shuffle total:
+    the coarse hash-partition exchange that co-locates equal texts; the
+    quality/language screens run during the scan, and the per-language
+    rollup folds into the dedup partitions (<= n_langs rows each), so
+    the final groupby touches O(parts x langs) rows.  This is the
+    composition story: every stage is the already-verified operator
+    kernel, fused without materialization."""
+    import hashlib
+    from ray.data.aggregate import Sum
+    from .table_ops import _partitioned_agg
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "n_chars"])
+
+    def screen(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks_col = pd.Series(texts, dtype=object).str.findall(r"\S+")
+        nt = np.fromiter((len(t) for t in toks_col), np.int64,
+                         len(texts))
+        topc = np.fromiter(
+            (int(np.unique(np.asarray(t, dtype=object),
+                           return_counts=True)[1].max()) if t else 0
+             for t in toks_col), np.int64, len(texts))
+        lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        n_chars = np.asarray(batch.column("n_chars"), dtype=np.int64)
+        keep = ((n_chars >= min_chars)
+                & (max_top_frac5 * topc <= nt)
+                & (lang != drop_lang))
+        kept = batch.filter(pa.array(keep))
+        hashes = [hashlib.md5(t.encode()).hexdigest()
+                  for t, k in zip(texts, keep) if k]
+        return pa.table({
+            "h": pa.array(hashes, pa.string()),
+            "doc_id": kept.column("doc_id"),
+            "lang": kept.column("lang"),
+            "n_chars": kept.column("n_chars")})
+
+    def dedup_rollup(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values("doc_id")
+        rep = df.groupby("h", as_index=False).first()
+        g = rep.groupby("lang", as_index=False).agg(
+            part_n=("h", "size"), part_chars=("n_chars", "sum"))
+        return _pd_table(g[["lang", "part_n", "part_chars"]],
+                         _CURATE_PARTIAL)
+
+    parts = _partitioned_agg(
+        ds.map_batches(screen, batch_format="pyarrow"), "h",
+        dedup_rollup, n_parts=n_parts)
+    agg = parts.groupby("lang").aggregate(Sum("part_n"),
+                                          Sum("part_chars"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch.column("lang"),
+            "n_docs": batch.column("sum(part_n)").cast(pa.int64()),
+            "total_chars": batch.column("sum(part_chars)").cast(
+                pa.int64())})
+
+    return agg.map_batches(rename, batch_format="pyarrow")

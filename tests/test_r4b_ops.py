@@ -208,3 +208,38 @@ def test_html_block_stats_census(ray_session, tmp_path):
     assert (got.n_good >= 5).all()
     assert (got.n_bad >= 1).all()          # boilerplate exists and is cut
     assert (got.n_blocks == got.n_good + got.n_bad).all()
+
+
+# --------------------------------------------------------- corpus_curation
+
+def test_corpus_curation_matches_oracle(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r4b import \
+        corpus_curation
+    got = _pd(corpus_curation(SF))
+    _assert_matches_oracle("corpus_curation", got)
+    # the dropped language never appears; every kept lang has docs
+    assert "zh" not in set(got.lang)
+    assert (got.n_docs > 0).all()
+
+
+def test_corpus_curation_dedups_and_screens(ray_session, tmp_path):
+    """Planted corpus: an exact duplicate pair counts once; a too-short
+    doc and a one-token-spam doc are dropped."""
+    import pyarrow.parquet as pq
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r4b import \
+        corpus_curation
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight") * 3
+    spam = "spam " * 80            # top token = 50% of mass
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [good, good, spam, "short text", good + " unique tail"],
+        "lang": ["en", "en", "en", "en", "fr"],
+        "n_chars": [len(good), len(good), len(spam), 10,
+                    len(good) + 12]})
+    d = tmp_path / "docs"; d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    got = _pd(corpus_curation(str(d))).set_index("lang")
+    assert got.loc["en", "n_docs"] == 1      # dup pair -> one; spam/short cut
+    assert got.loc["fr", "n_docs"] == 1
