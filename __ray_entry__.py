@@ -472,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_media_gallery": table_ops_r4b.spans_media_gallery,
         "html_block_stats": table_ops_r4b.html_block_stats,
         "corpus_curation": table_ops_r4b.corpus_curation,
+        "spans_reassemble": table_ops_r4b.spans_reassemble,
     }
 
 
@@ -1401,5 +1402,49 @@ def oracle_sql() -> dict[str, str]:
             FROM uniq u JOIN keep k
                  ON u.doc_id = k.doc_id AND u.h = k.h
             GROUP BY k.lang
+        """,
+        "spans_reassemble": """
+            WITH base AS (
+              SELECT doc_id::VARCHAR AS doc_id,
+                     regexp_extract_all(text, '\\S+') AS toks
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, (len(toks) + 4) // 5 - 1))
+                         AS c
+              FROM base WHERE len(toks) > 0),
+            h AS (
+              SELECT doc_id, c,
+                     array_to_string(toks[c * 5 + 1 : c * 5 + 5], ' ')
+                         AS words,
+                     ('0x' || substr(md5(doc_id || ':' || c), 1, 8))
+                         ::UBIGINT AS hv
+              FROM chunks),
+            txt AS (
+              SELECT doc_id, c,
+                     -- edge texts by explicit codepoint (edge 2 is the
+                     -- DECOMPOSED o + U+0308, not precomposed U+00F6)
+                     CASE WHEN hv % 17 = 0 THEN
+                       CASE hv % 5
+                         WHEN 0 THEN chr(1) || chr(2)
+                         WHEN 1 THEN chr(64257) || 'ne'
+                         WHEN 2 THEN 'o' || chr(776)
+                         WHEN 3 THEN chr(8211)
+                         ELSE ' lead' END
+                     ELSE words END AS t
+              FROM h),
+            kept AS (
+              SELECT doc_id, c, t FROM txt
+              WHERE t <> '' AND trim(t) <> ''
+                AND NOT regexp_matches(t, '[\\x00-\\x1f]')),
+            agg AS (
+              SELECT doc_id,
+                     count(*)::INT AS n,
+                     string_agg(t, ' | ' ORDER BY c) AS body
+              FROM kept GROUP BY doc_id)
+            SELECT b.doc_id,
+                   coalesce(a.n, 0)::INT AS n_text_spans,
+                   md5(coalesce(a.body, '')) AS clean_text_md5
+            FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
         """,
     }

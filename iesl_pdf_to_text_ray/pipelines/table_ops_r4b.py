@@ -546,3 +546,47 @@ def corpus_curation(sf_dir: str, min_chars: int = 100,
                 pa.int64())})
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# ------------------------------------------------- spans text reassembly
+
+_REASSEMBLE_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("n_text_spans", pa.int32()),
+    ("clean_text_md5", pa.string())])
+
+
+def spans_reassemble(sf_dir: str, sep: str = " | "):
+    """Reconstruct each document's normalized body text from its
+    interleaved spans — the inverse of chunking and the step a
+    text-only training export runs after extraction: synthesize ->
+    normalize (control-char/whitespace span drop) -> join the surviving
+    text spans in document order -> digest.  Per-document streaming
+    map_batches chain, no shuffle; MATCH-checked against a SQL oracle
+    that replays the synthesis rule, the drop predicate and the ordered
+    string_agg."""
+    import hashlib
+    import ray.data
+    from .spans_ops import normalize_spans_batch, synthesize_spans_batch
+    from .table_ops import _clean_schema
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"],
+                               schema=_clean_schema(path,
+                                                    ["doc_id", "text"]))
+    ds = ds.map_batches(synthesize_spans_batch, batch_format="pyarrow")
+    ds = ds.map_batches(normalize_spans_batch, batch_format="pyarrow")
+
+    def reassemble(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        spans_col = batch.column("spans").to_pylist()
+        out_n, out_md5 = [], []
+        for spans in spans_col:
+            texts = [s["text"] for s in spans if s["kind"] == "text"]
+            out_n.append(len(texts))
+            out_md5.append(
+                hashlib.md5(sep.join(texts).encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array([str(d) for d in ids], pa.string()),
+            "n_text_spans": pa.array(out_n, pa.int32()),
+            "clean_text_md5": pa.array(out_md5, pa.string())})
+
+    return ds.map_batches(reassemble, batch_format="pyarrow")

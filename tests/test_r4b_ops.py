@@ -243,3 +243,13 @@ def test_corpus_curation_dedups_and_screens(ray_session, tmp_path):
     got = _pd(corpus_curation(str(d))).set_index("lang")
     assert got.loc["en", "n_docs"] == 1      # dup pair -> one; spam/short cut
     assert got.loc["fr", "n_docs"] == 1
+
+
+# -------------------------------------------------------- spans_reassemble
+
+def test_spans_reassemble_matches_oracle(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r4b import \
+        spans_reassemble
+    got = _pd(spans_reassemble(SF))
+    _assert_matches_oracle("spans_reassemble", got)
+    assert (got.n_text_spans > 0).all()
