@@ -302,32 +302,33 @@ _USTAT_PARTIAL = pa.schema([
 
 def events_anomaly(sf_dir: str, sigmas: float = 3.0):
     """Per-user z-score outlier screen: pass 1 reduces events to per-user
-    (count, sum, sum-of-squares) — per-batch partials then a user-keyed
-    groupby whose output is O(users), not O(events); the user-stat table
-    is collected into sorted arrays *inside one worker task* and
-    broadcast; pass 2 streams events again and counts, per event_type,
-    values with (v - mean)^2 > sigmas^2 * variance.  Mean/variance are
-    derived from the same plain sums on both engines, so the oracle
-    states the identical expression (no stddev_samp ambiguity)."""
+    (count, sum, sum-of-squares) — fully vectorized per-batch partials
+    (rows O(users x blocks), not O(events)) merged into sorted stat
+    arrays inside ONE worker task (no shuffle: the partial table fits a
+    single object-store object for any user domain that the broadcast
+    itself can serve; a 10^9-user domain would swap this merge for
+    ``_partitioned_agg`` and a partitioned pass 2); pass 2 streams
+    events again and counts, per event_type, values with (v - mean)^2 >
+    sigmas^2 * variance.  Mean/variance are derived from the same plain
+    sums on both engines, so the oracle states the identical expression
+    (no stddev_samp ambiguity)."""
     import ray
-    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["user_id", "value"])
 
     def upartial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"))
         df = pd.DataFrame({
             "user_id": np.asarray(batch.column("user_id"), dtype=np.int64),
-            "v": np.asarray(batch.column("value"))})
-        g = df.groupby("user_id", sort=False)["v"].agg(
-            n="size", s1="sum", s2=lambda x: float((x ** 2).sum())) \
+            "v": v, "v2": v * v})
+        g = df.groupby("user_id", sort=False).agg(
+            n=("v", "size"), s1=("v", "sum"), s2=("v2", "sum")) \
             .reset_index()
-        return _pd_table(g.rename(columns={}), _USTAT_PARTIAL)
+        return _pd_table(g, _USTAT_PARTIAL)
 
-    stats = ds.map_batches(upartial, batch_format="pyarrow") \
-        .groupby("user_id").aggregate(Sum("n"), Sum("s1"), Sum("s2"))
-    # the per-user stat table is O(users); its blocks stay in the object
-    # store — only the ref list touches the driver
-    stat_refs = stats.to_arrow_refs()
+    # partial blocks stay in the object store — only refs touch the driver
+    stat_refs = ds.map_batches(upartial,
+                               batch_format="pyarrow").to_arrow_refs()
 
     @ray.remote
     def _collect(*blocks):
@@ -335,14 +336,13 @@ def events_anomaly(sf_dir: str, sigmas: float = 3.0):
         tbl = _pa.concat_tables(
             [b for b in blocks
              if isinstance(b, _pa.Table) and b.num_rows > 0])
-        uid = np.asarray(tbl.column("user_id"), dtype=np.int64)
-        n = np.asarray(tbl.column("sum(n)"), dtype=np.float64)
-        s1 = np.asarray(tbl.column("sum(s1)"), dtype=np.float64)
-        s2 = np.asarray(tbl.column("sum(s2)"), dtype=np.float64)
-        o = np.argsort(uid)
-        mean = s1 / n
-        var = s2 / n - mean * mean
-        return {"uid": uid[o], "mean": mean[o], "var": var[o]}
+        g = tbl.to_pandas().groupby("user_id", sort=True).agg(
+            n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
+        n = g["n"].to_numpy(dtype=np.float64)
+        mean = g["s1"].to_numpy() / n
+        var = g["s2"].to_numpy() / n - mean * mean
+        return {"uid": g.index.to_numpy(dtype=np.int64),
+                "mean": mean, "var": var}
 
     sref = _collect.remote(*stat_refs)
 
