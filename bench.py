@@ -77,6 +77,28 @@ def run_extract(num_cpus: int, n_docs: int) -> dict:
             "docs_per_sec": round(n_docs / dt, 2)}
 
 
+def run_html_extract(num_cpus: int, n_docs: int) -> dict:
+    """Throughput of the north-rule HTML main-content leg: synthetic web
+    corpus -> actor-pool boilerplate strip -> interleaved spans."""
+    from iesl_pdf_to_text_ray.sources.html_corpus import \
+        synthesize_html_corpus
+    from iesl_pdf_to_text_ray.stages.html_extract import \
+        extract_html_dataset
+    d = f"/tmp/graft_bench_corpus/html_n{n_docs}"
+    if not os.path.exists(os.path.join(d, "part-00000.parquet")):
+        synthesize_html_corpus(d, n_docs=n_docs,
+                               n_shards=max(8, n_docs // 64))
+    conc = (max(1, num_cpus - 2), num_cpus)
+    # warm the actor pool topology, then measure
+    extract_html_dataset(d, concurrency=conc, batch_size=16).count()
+    t0 = time.time()
+    n = extract_html_dataset(d, concurrency=conc, batch_size=16).count()
+    dt = time.time() - t0
+    assert n == n_docs, (n, n_docs)
+    return {"n_docs": n, "sec": round(dt, 3),
+            "docs_per_sec": round(n / dt, 2)}
+
+
 def run_queries(sf_dir: str) -> dict:
     import __ray_entry__ as E
     out = {}
@@ -131,6 +153,7 @@ def main():
     probe = host_speed_probe()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     extract = run_extract(NUM_CPUS, n_docs=32 * NUM_CPUS)
+    html = run_html_extract(NUM_CPUS, n_docs=64 * NUM_CPUS)
     queries = run_queries(SF_DIR)
     total = extract["sec"] + sum(v for v in queries.values()
                                  if isinstance(v, (int, float)))
@@ -141,6 +164,9 @@ def main():
         "extract_n_docs": extract["n_docs"],
         "extract_sec": extract["sec"],
         "docs_per_sec": extract["docs_per_sec"],
+        "html_n_docs": html["n_docs"],
+        "html_sec": html["sec"],
+        "html_docs_per_sec": html["docs_per_sec"],
         "host_probe": probe}))
     ray.shutdown()
 
