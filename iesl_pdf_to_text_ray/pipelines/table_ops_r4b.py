@@ -62,7 +62,8 @@ def doc_chunks(sf_dir: str, chunk_tokens: int = 64):
             "doc_id": pa.array(out_id, pa.string()),
             "chunk_idx": pa.array(out_idx, pa.int32()),
             "n_tokens": pa.array(out_n, pa.int32()),
-            "chunk_md5": pa.array(out_md5, pa.string())})
+            "chunk_md5": pa.array(out_md5, pa.string())},
+            schema=_CHUNK_SCHEMA)
 
     return ds.map_batches(explode, batch_format="pyarrow")
 
@@ -104,7 +105,8 @@ def token_diversity(sf_dir: str):
             "doc_id": pa.array(ids, pa.string()),
             "n_tokens": pa.array(n_tok, pa.int64()),
             "n_distinct": pa.array(n_dis, pa.int64()),
-            "top_count": pa.array(top, pa.int64())})
+            "top_count": pa.array(top, pa.int64())},
+            schema=_DIVERSITY_SCHEMA)
 
     return ds.map_batches(stats, batch_format="pyarrow")
 
@@ -140,7 +142,8 @@ def pii_scrub(sf_dir: str):
         return pa.table({
             "doc_id": pa.array(ids, pa.string()),
             "n_redacted": pa.array(n_red, pa.int32()),
-            "clean_md5": pa.array(md5s, pa.string())})
+            "clean_md5": pa.array(md5s, pa.string())},
+            schema=_PII_SCHEMA)
 
     return ds.map_batches(scrub, batch_format="pyarrow")
 
@@ -373,7 +376,8 @@ def events_anomaly(sf_dir: str, sigmas: float = 3.0):
         return pa.table({
             "event_type": batch.column("event_type"),
             "n_events": batch.column("sum(part_n)").cast(pa.int64()),
-            "n_outliers": batch.column("sum(part_out)").cast(pa.int64())})
+            "n_outliers": batch.column("sum(part_out)").cast(
+                pa.int64())}, schema=_ANOM_SCHEMA)
 
     return agg.map_batches(rename, batch_format="pyarrow")
 
@@ -415,7 +419,8 @@ def spans_media_gallery(sf_dir: str):
         return pa.table({
             "doc_id": pa.array(out_id, pa.string()),
             "media_ref": pa.array(out_ref, pa.string()),
-            "offset": pa.array(out_off, pa.int32())})
+            "offset": pa.array(out_off, pa.int32())},
+            schema=_GALLERY_SCHEMA)
 
     return ds.map_batches(explode, batch_format="pyarrow")
 
@@ -587,6 +592,7 @@ def spans_reassemble(sf_dir: str, sep: str = " | "):
         return pa.table({
             "doc_id": pa.array([str(d) for d in ids], pa.string()),
             "n_text_spans": pa.array(out_n, pa.int32()),
-            "clean_text_md5": pa.array(out_md5, pa.string())})
+            "clean_text_md5": pa.array(out_md5, pa.string())},
+            schema=_REASSEMBLE_SCHEMA)
 
     return ds.map_batches(reassemble, batch_format="pyarrow")
