@@ -320,6 +320,53 @@ def pdf_training_text_query(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow")
 
 
+def pdf_corpus_curation_query(sf_dir: str):
+    """The PDF-side curation composite: PDF bytes -> golden-contract
+    spans -> layout-stripped body text -> exact dedup -> per-unique
+    representative stats, all one streaming chain with a single
+    coarse-partition exchange (the dedup).  The synthetic corpus
+    replicates 4 base PDFs, so dedup MUST collapse it to exactly 4
+    representatives with the replication factor as n_dups — pinned in
+    tests/test_r4b_ops.py.  Rows-only (PDF corpus)."""
+    import hashlib as _hl
+
+    import numpy as np
+    import pyarrow as pa
+
+    from iesl_pdf_to_text_ray.functions.layout import body_text_lines
+    from iesl_pdf_to_text_ray.pipelines.extract_pipeline import \
+        extract_dataset
+    from iesl_pdf_to_text_ray.pipelines.joins import _pd_table
+    from iesl_pdf_to_text_ray.pipelines.table_ops import _partitioned_agg
+    ds = extract_dataset(_corpus_dir(), concurrency=(1, 4), batch_size=4)
+
+    def body_hash(batch: pa.Table) -> pa.Table:
+        ids, hashes, n_chars = [], [], []
+        for row in batch.to_pylist():
+            text = "\n".join(body_text_lines(row["spans"]))
+            ids.append(row["doc_id"])
+            hashes.append(_hl.md5(text.encode()).hexdigest())
+            n_chars.append(len(text))
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "body_md5": pa.array(hashes, pa.string()),
+                         "n_chars": pa.array(n_chars, pa.int64())})
+
+    def dedup(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values("doc_id")
+        g = df.groupby("body_md5", as_index=False).agg(
+            doc_id=("doc_id", "first"), n_dups=("doc_id", "size"),
+            n_chars=("n_chars", "first"))
+        g["n_dups"] = g["n_dups"].astype(np.int64)
+        return _pd_table(g[["body_md5", "doc_id", "n_dups", "n_chars"]],
+                         pa.schema([("body_md5", pa.string()),
+                                    ("doc_id", pa.string()),
+                                    ("n_dups", pa.int64()),
+                                    ("n_chars", pa.int64())]))
+
+    ds = ds.map_batches(body_hash, batch_format="pyarrow")
+    return _partitioned_agg(ds, "body_md5", dedup, n_parts=8)
+
+
 def pdf_text_items_query(sf_dir: str):
     """getTextContent surface over the PDF corpus (getinfo.js parity):
     per-page item counts + joined text digest.  Rows-only (PDF corpus is
@@ -402,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_media": pdf_media_query,
         "pdf_metadata": pdf_metadata_query,
         "pdf_text_items": pdf_text_items_query,
+        "pdf_corpus_curation": pdf_corpus_curation_query,
         "extract_layout": extract_layout_query,
         "pdf_training_text": pdf_training_text_query,
         # streaming-ish / relational
@@ -480,7 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # express them (the driver records a rows-only check for these):
 #   extract_corpus / extract_corpus_split / extract_corpus_chunked /
 #   extract_corpus_ranged / pdf_metadata / pdf_media / pdf_text_items /
-#   extract_layout / pdf_training_text — operate on the
+#   extract_layout / pdf_training_text / pdf_corpus_curation — operate on the
 #     PDF byte corpus, which is not among the driver's 10 registered
 #     DuckDB views; correctness is enforced instead by golden
 #     span-sequence equality in tests/test_golden.py (4/4 docs exact) and

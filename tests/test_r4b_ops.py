@@ -253,3 +253,17 @@ def test_spans_reassemble_matches_oracle(ray_session):
     got = _pd(spans_reassemble(SF))
     _assert_matches_oracle("spans_reassemble", got)
     assert (got.n_text_spans > 0).all()
+
+
+# ---------------------------------------------------- pdf_corpus_curation
+
+def test_pdf_corpus_curation_collapses_replicas(ray_session):
+    """The 16-doc synthetic corpus replicates 4 base PDFs; the
+    extraction -> body-text -> dedup chain must collapse it to exactly
+    4 representatives whose n_dups sum back to the corpus size."""
+    import __ray_entry__ as E
+    got = _pd(E.queries()["pdf_corpus_curation"](SF))
+    assert len(got) == 4
+    assert got.n_dups.sum() == 16
+    assert got.body_md5.nunique() == 4
+    assert (got.n_chars > 100).all()
