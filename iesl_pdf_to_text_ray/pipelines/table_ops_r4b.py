@@ -17,6 +17,7 @@ explicitly rows-only.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -114,6 +115,7 @@ def token_diversity(sf_dir: str):
 # ------------------------------------------------------------- PII scrub
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_EMAIL_PAT = re.compile(_EMAIL_RE)
 _PII_SCHEMA = pa.schema([
     ("doc_id", pa.string()), ("n_redacted", pa.int32()),
     ("clean_md5", pa.string())])
@@ -136,8 +138,8 @@ def pii_scrub(sf_dir: str):
         inject = (_md5_bucket32(ids) % 7) == 0
         t = t.where(~inject,
                     t + " contact user" + pd.Series(ids) + "@example.com now")
-        n_red = t.str.count(_EMAIL_RE).astype(np.int32)
-        clean = t.str.replace(_EMAIL_RE, "<EMAIL>", regex=True)
+        n_red = t.str.count(_EMAIL_PAT).astype(np.int32)
+        clean = t.str.replace(_EMAIL_PAT, "<EMAIL>", regex=True)
         md5s = [hashlib.md5(x.encode()).hexdigest() for x in clean]
         return pa.table({
             "doc_id": pa.array(ids, pa.string()),
