@@ -1584,7 +1584,8 @@ def _edge_checksum(edges) -> tuple[int, int]:
     return int(total), int(agg["n"].sum())
 
 
-def neardup_components(sf_dir: str, n_parts: int = 8, max_iters: int = 12):
+def neardup_components(sf_dir: str, n_parts: int = 8, max_iters: int = 12,
+                       local_edge_limit: int = 2_000_000):
     """Connected components over the near-duplicate graph (ngram-jaccard
     pairs >= 0.4): the cluster-dedup operator — every document labeled
     with the min doc_id of its near-dup cluster.  Iterative Hash-to-Min
@@ -1602,6 +1603,52 @@ def neardup_components(sf_dir: str, n_parts: int = 8, max_iters: int = 12):
                          "v": np.concatenate([b, a])}, schema=_EDGE_SCHEMA)
 
     edges = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    import ray
+
+    # Size-gated local path (the broadcast-join analog for graphs): the
+    # post-LSH near-dup edge set is a vanishing fraction of corpus size;
+    # when it fits one task, exact union-find in a single worker beats
+    # O(log d) distributed rounds whose per-round shuffle+schedule
+    # overhead dominates at small edge counts (measured 15s of round
+    # overhead for a 256-edge graph at sf0.1).  Above the gate the
+    # iterative Hash-to-Min path below is unchanged.
+    if edges.count() <= local_edge_limit:
+        @ray.remote
+        def _local_cc(*tabs: pa.Table):
+            us = [np.asarray(t.column("u"), dtype=np.int64)
+                  for t in tabs if t.num_rows]
+            vs = [np.asarray(t.column("v"), dtype=np.int64)
+                  for t in tabs if t.num_rows]
+            if not us:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            u = np.concatenate(us)
+            v = np.concatenate(vs)
+            nodes, inv = np.unique(np.concatenate([u, v]),
+                                   return_inverse=True)
+            parent = np.arange(len(nodes))
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            iu, iv = inv[:len(u)], inv[len(u):]
+            for a, b in zip(iu, iv):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            roots = np.fromiter((find(i) for i in range(len(nodes))),
+                                np.int64, len(nodes))
+            # root index is the min node index of its component because
+            # unions always point the larger root at the smaller and
+            # nodes[] is sorted ascending
+            return nodes, nodes[roots]
+
+        lab_ref = _local_cc.remote(*edges.to_arrow_refs())
+        return _attach_components(sf_dir, lab_ref)
+
     prev = None
     import functools
     part_fn = functools.partial(_edge_part, n_parts=n_parts)
@@ -1647,7 +1694,16 @@ def neardup_components(sf_dir: str, n_parts: int = 8, max_iters: int = 12):
         order = np.argsort(u)
         return u[order], c[order]
 
-    lab_ref = _assemble_labels.remote(*lab.to_arrow_refs())
+    return _attach_components(sf_dir,
+                              _assemble_labels.remote(*lab.to_arrow_refs()))
+
+
+def _attach_components(sf_dir: str, lab_ref):
+    """Label every document with its component: the (sorted keys, comps)
+    label arrays are broadcast via the object store; singleton docs get
+    component = self.  Shared by the local union-find and the iterative
+    Hash-to-Min paths of ``neardup_components``."""
+    import ray
     docs = _read(sf_dir, "documents", columns=["doc_id"])
 
     def attach(batch: pa.Table) -> pa.Table:

@@ -267,3 +267,20 @@ def test_pdf_corpus_curation_collapses_replicas(ray_session):
     assert got.n_dups.sum() == 16
     assert got.body_md5.nunique() == 4
     assert (got.n_chars > 100).all()
+
+
+# ------------------------------------- neardup_components path equivalence
+
+def test_components_local_and_distributed_paths_agree(ray_session):
+    """The size-gated local union-find and the iterative Hash-to-Min
+    path must label identically (local_edge_limit=0 forces the
+    distributed rounds)."""
+    from iesl_pdf_to_text_ray.pipelines.table_ops import \
+        neardup_components
+    local = _pd(neardup_components(SF)).sort_values("doc_id") \
+        .reset_index(drop=True)
+    dist = _pd(neardup_components(SF, local_edge_limit=0)) \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(local, dist)
+    # the graph is non-trivial: at least one multi-doc component
+    assert (local.component != local.doc_id).any()
