@@ -265,7 +265,7 @@ def _pair_dedup_group(group: pa.Table, val_col: str) -> pa.Table:
 
 def dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup pairs: shingle->signature->band buckets->verify."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_sized(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(dd.minhash_batch, batch_format="pyarrow")
     ds = ds.map_batches(dd.band_explode_batch, batch_format="pyarrow")
     # coarse-partition the buckets: one vectorized map_groups call per
@@ -291,7 +291,10 @@ def dedup_ngram_jaccard(sf_dir: str):
     set-similarity join: explode each doc to its prefix shingles ->
     groupby(shingle) -> bucket-local exact verify -> pair dedup.
     Complete recall (prefix-filter lemma), never all-pairs."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # size-aware read: sort-shuffle cost scales with input block count,
+    # and the default cpu-count split hands a 5000-row table 64 blocks
+    # (measured: the groupby spent 7.2s wall on 0.6s of work at sf0.1)
+    ds = _read_sized(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(dd.shingle_prefix_explode, batch_format="pyarrow")
     ds = ds.groupby("part").map_groups(dd.prefix_pairs_partition,
                                        batch_format="pyarrow")
