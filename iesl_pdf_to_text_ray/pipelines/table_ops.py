@@ -141,7 +141,7 @@ def dedup_exact(sf_dir: str):
     """Exact dedup: coarse hash partitions on the content hash (all rows
     of a hash co-located), keep min doc_id + duplicate count via one
     in-partition pandas groupby — no full-key-domain shuffle."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_sized(sf_dir, "documents", columns=["doc_id", "text"])
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -165,7 +165,7 @@ def dedup_exact(sf_dir: str):
 
 
 def lang_stats(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    ds = _read_sized(sf_dir, "documents", columns=["lang", "n_chars"])
     from ray.data.aggregate import Count, Mean, Sum
     ds = ds.groupby("lang").aggregate(Count(), Sum("n_chars"), Mean("n_chars"))
 
@@ -185,7 +185,7 @@ def top_longest(sf_dir: str, k: int = 20):
 
 
 def token_stats(sf_dir: str):
-    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    ds = _read_sized(sf_dir, "documents", columns=["doc_id", "lang", "text"])
     ds = ds.map_batches(tx.token_count_batch, batch_format="pyarrow")
     from ray.data.aggregate import Count, Sum
     ds = ds.groupby("lang").aggregate(Sum("token_count"), Count())
@@ -225,7 +225,7 @@ def top_docs_per_lang(sf_dir: str, k: int = 3):
     """Per-group top-N (ROW_NUMBER() OVER (PARTITION BY ...) <= k): local
     top-k inside every batch (lossless partial — a global winner is a
     batch winner), then one tiny per-group merge."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    ds = _read_sized(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
 
     def local_topk(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -324,7 +324,7 @@ def _load_queries(sf_dir: str, n_queries: int):
 def ann_bruteforce(sf_dir: str, n_queries: int = 8, k: int = 10):
     import ray
     queries_ref = ray.put(_load_queries(sf_dir, n_queries))
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read_sized(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ds = ds.map_batches(annf.BruteForcePartialTopK,
                         fn_constructor_args=(queries_ref, k),
                         batch_format="pyarrow", batch_size=512,
@@ -358,7 +358,7 @@ def ann_ivf(sf_dir: str, n_queries: int = 8, k: int = 10,
     d = ((q["vecs"][:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
     probes = {int(qid): set(np.argsort(d[i])[:n_probe].tolist())
               for i, qid in enumerate(q["ids"])}
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read_sized(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ds = ds.map_batches(annf.IvfAssign, fn_constructor_args=(centers_ref,),
                         batch_format="pyarrow", batch_size=512,
                         concurrency=(1, 4))
@@ -385,7 +385,7 @@ def ann_quantized(sf_dir: str, n_queries: int = 8, k: int = 10):
     # Per-dimension min/max as a distributed partial aggregate: one partial
     # row per batch inside map_batches, then an O(n_batches) reduce of the
     # tiny partials — no task ever holds more than one batch of vectors.
-    partials = _read(sf_dir, "embeddings", columns=["embedding"]) \
+    partials = _read_sized(sf_dir, "embeddings", columns=["embedding"]) \
         .map_batches(annf.dim_minmax_partial, batch_format="pyarrow",
                      batch_size=1024).take_all()
     lo = np.min([p["lo"] for p in partials], axis=0)
@@ -428,7 +428,7 @@ def ann_quantized(sf_dir: str, n_queries: int = 8, k: int = 10):
                              "neighbor_id": pa.array(out_n, pa.int64()),
                              "sim": pa.array(out_s, pa.float64())})
 
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read_sized(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ds = ds.map_batches(QuantizedTopK, batch_format="pyarrow",
                         batch_size=512, concurrency=(1, 4))
     return ds.groupby("query_id", num_partitions=n_queries).map_groups(
@@ -452,7 +452,7 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.4,
     qualifying pairs share a 16-cluster IVF bucket at sf0.01).
     """
     import functools
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read_sized(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ds = ds.map_batches(
         functools.partial(annf.blockpair_explode, n_blocks=n_blocks),
         batch_format="pyarrow")
@@ -522,7 +522,7 @@ def media_frames(sf_dir: str, n_frames: int = 4):
 
 def events_hourly(sf_dir: str):
     """Tumbling-window aggregate with per-batch pre-aggregation (combiner)."""
-    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    ds = _read_sized(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def partial_agg(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -554,7 +554,7 @@ def events_daily_pivot(sf_dir: str):
     """Pivot: daily event counts widened to one column per event type
     (fixed domain).  Partial pivoted counts per batch, summed in one
     small groupby — the wide shuffle carries days x 5 ints, not rows."""
-    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    ds = _read_sized(sf_dir, "events", columns=["ts", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -629,7 +629,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     within ranges, then stitch boundary sessions in a second tiny pass —
     wire it when a corpus-wide per-key cap shows hot users."""
     import pandas as pd
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ds = _read_sized(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def sessions(group: pa.Table) -> pa.Table:
         df = group.to_pandas().sort_values("ts")
@@ -657,7 +657,7 @@ def events_sessionize_scalable(sf_dir: str, gap_minutes: int = 30):
     costs many bounded day-tasks plus one tiny summary merge, never one
     giant group.  Output schema and values identical to events_sessionize
     (same SQL oracle)."""
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ds = _read_sized(sf_dir, "events", columns=["user_id", "ts", "value"])
     gap = pd.Timedelta(minutes=gap_minutes)
     n_parts = 256
 
@@ -732,7 +732,7 @@ def events_watermark_late(sf_dir: str, lateness_min: int = 10,
     windows with on-time/late splits — the late-data routing a streaming
     engine does at the window operator."""
     import ray
-    ds = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+    ds = _read_sized(sf_dir, "events", columns=["event_id", "ts", "value"])
 
     def bucket_max(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -805,7 +805,7 @@ def pricing_summary(sf_dir: str):
     """TPC-H Q1-style aggregate with per-batch combiners: vectorized pandas
     partials -> tiny final groupby (the partial/combiner discipline that
     keeps the shuffle O(groups), not O(rows))."""
-    ds = _read(sf_dir, "lineitem",
+    ds = _read_sized(sf_dir, "lineitem",
                columns=["l_returnflag", "l_linestatus", "l_quantity",
                         "l_extendedprice", "l_discount"])
 
@@ -880,7 +880,7 @@ def events_sliding(sf_dir: str, window_hours: int = 3):
     """Sliding-window aggregate (hourly step, 3h width): each event
     explodes to its covering windows inside map_batches (vectorized
     repeat), partial per-batch combiners, then an O(windows) groupby."""
-    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    ds = _read_sized(sf_dir, "events", columns=["ts", "value"])
 
     def explode_partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -917,7 +917,7 @@ def distinct_users(sf_dir: str):
     at most one row per distinct key per block, never the raw events,
     and its sort key is the 32-value partition int, not the user-id
     domain."""
-    ds = _read(sf_dir, "events", columns=["user_id"])
+    ds = _read_sized(sf_dir, "events", columns=["user_id"])
 
     def batch_unique(batch: pa.Table) -> pa.Table:
         u = np.unique(np.asarray(batch.column("user_id")))
@@ -949,7 +949,7 @@ def distinct_users_hll(sf_dir: str):
     exact path when keys no longer fit a shuffle.  No SQL oracle
     (approximation); accuracy is pinned against distinct_users in
     tests/test_operators.py."""
-    ds = _read(sf_dir, "events", columns=["user_id"])
+    ds = _read_sized(sf_dir, "events", columns=["user_id"])
     m = 1 << _HLL_P
 
     def batch_registers(batch: pa.Table) -> pa.Table:
@@ -1267,7 +1267,7 @@ def revenue_by_nation(sf_dir: str):
                 part_rev=("o_totalprice", "sum"))
             return _pd_table(g, _REVENUE_PARTIAL_SCHEMA)
 
-    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    ds = _read_sized(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     ds = ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=(1, 4))
     from ray.data.aggregate import Sum
     ds = ds.groupby("nation").aggregate(Sum("part_n"), Sum("part_rev"))
@@ -1322,7 +1322,7 @@ def quantile_stats(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99)):
     O(distinct values), not O(rows)) -> per-lang cumulative pick at rank
     ceil(q*n) (DuckDB quantile_disc semantics).  The full-sort alternative
     shuffles every row; this shuffles one row per distinct (lang, value)."""
-    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    ds = _read_sized(sf_dir, "documents", columns=["lang", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = (batch.to_pandas().groupby(["lang", "n_chars"])
@@ -1459,7 +1459,7 @@ def ngram_topk(sf_dir: str, k: int = 20):
     vectorized (one concatenated token array per batch, boundary mask,
     pandas value_counts) and the shuffle carries one row per distinct
     bigram per batch, never one per token."""
-    ds = _read(sf_dir, "documents", columns=["text"])
+    ds = _read_sized(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         s = batch.column("text").to_pandas()
@@ -1735,7 +1735,7 @@ def orders_top_per_priority(sf_dir: str):
     each priority class (ties broken by lowest orderkey).  Per-batch
     partial argmax shrinks the shuffle to one row per (batch, group);
     the final reduce sees O(batches x groups) rows, never the table."""
-    ds = _read(sf_dir, "orders",
+    ds = _read_sized(sf_dir, "orders",
                columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -2021,7 +2021,7 @@ def pricing_quantiles_sketch(sf_dir: str, qs=(0.5, 0.9, 0.99)):
     the HLL sketch for distinct counts.  Deterministic; accuracy vs the
     exact quantiles is pinned in tests (rows-only for the driver: the
     approximation is not SQL-reproducible)."""
-    ds = _read(sf_dir, "orders",
+    ds = _read_sized(sf_dir, "orders",
                columns=["o_orderpriority", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -490,7 +490,7 @@ def supplier_balance_by_region(sf_dir: str):
         return _pd_table(g, _SUPPBAL_PARTIAL)
 
     from ray.data.aggregate import Sum
-    ds = _read(sf_dir, "supplier",
+    ds = _read_sized(sf_dir, "supplier",
                columns=["s_nationkey", "s_acctbal"]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("r_name").aggregate(Sum("part_n"), Sum("part_cents"))
@@ -634,7 +634,7 @@ def events_funnel(sf_dir: str):
     for absent steps), ONE coarse-partition shuffle of the per-user
     partials (all partials of a user co-located), per-partition count
     partials, constant-size merge."""
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    ds = _read_sized(sf_dir, "events", columns=["user_id", "ts", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
         et = np.asarray(batch.column("event_type"))
@@ -693,7 +693,7 @@ def daily_active_users(sf_dir: str):
     groupby(day) with a vectorized nunique.  At 100 TB the pair table is
     bounded by users x days, orders of magnitude below the event
     count."""
-    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    ds = _read_sized(sf_dir, "events", columns=["ts", "user_id"])
 
     def pairs(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -727,7 +727,7 @@ def doc_length_histogram(sf_dir: str, width: int = 100):
     """Document length histogram (bucket = n_chars // width): per-batch
     bucket counting is the combiner, the groupby touches O(buckets)
     rows."""
-    ds = _read(sf_dir, "documents", columns=["n_chars"])
+    ds = _read_sized(sf_dir, "documents", columns=["n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
         n = np.asarray(batch.column("n_chars"))
@@ -763,7 +763,7 @@ def keyword_doc_counts(sf_dir: str, keywords=_KEYWORDS):
     language — the grep-shaped corpus scan.  Vectorized pandas
     str.contains per keyword per batch; partial counts make the shuffle
     O(langs x keywords)."""
-    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    ds = _read_sized(sf_dir, "documents", columns=["lang", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         text = batch.column("text").to_pandas().fillna("")
@@ -808,7 +808,7 @@ def label_centroids(sf_dir: str):
     per-batch partial is a vectorized per-label matrix sum (np.add.at),
     so the shuffle carries labels x dims rows per batch — constant in
     the corpus size; avg is pinned to round(…, 6) on both engines."""
-    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    ds = _read_sized(sf_dir, "embeddings", columns=["label", "embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
         labels = np.asarray(batch.column("label"), dtype=np.int64)
@@ -871,7 +871,7 @@ def ann_lsh(sf_dir: str, n_queries: int = 8, k: int = 10,
     planes_ref = ray.put(planes)
     probes = annf.lsh_probe_sets(q["vecs"], q["ids"], planes,
                                  n_tables, n_bits)
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read_sized(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ds = ds.map_batches(annf.LshAssign,
                         fn_constructor_args=(planes_ref, n_tables, n_bits),
                         batch_format="pyarrow", batch_size=512,
@@ -904,7 +904,7 @@ def events_props_stats(sf_dir: str):
     single-key objects; a JSON-path engine drops into the same batch
     kernel for nested payloads), partial-combined per batch so the
     shuffle is O(event types)."""
-    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+    ds = _read_sized(sf_dir, "events", columns=["event_type", "props"])
 
     def partial(batch: pa.Table) -> pa.Table:
         props = batch.column("props").to_pandas()
@@ -954,7 +954,7 @@ def knn_classify(sf_dir: str, n_queries: int = 8, k: int = 10):
     import ray
 
     from ..functions import ann as annf
-    from .table_ops import _load_queries, _read
+    from .table_ops import _load_queries, _read_sized
 
     @ray.remote
     def _labels(sf: str):
@@ -968,7 +968,7 @@ def knn_classify(sf_dir: str, n_queries: int = 8, k: int = 10):
 
     labels_ref = _labels.remote(sf_dir)
     queries_ref = ray.put(_load_queries(sf_dir, n_queries))
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read_sized(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ds = ds.map_batches(annf.BruteForcePartialTopK,
                         fn_constructor_args=(queries_ref, k),
                         batch_format="pyarrow", batch_size=512,
@@ -1010,7 +1010,7 @@ def events_retention(sf_dir: str):
     user's first day and membership of first+1 / first+7 vectorized
     (searchsorted over the partition's sorted pair list) and emits
     per-cohort partials, so the final groupby touches O(days) rows."""
-    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    ds = _read_sized(sf_dir, "events", columns=["ts", "user_id"])
 
     def pairs(batch: pa.Table) -> pa.Table:
         days = np.asarray(batch.column("ts")) \

@@ -264,13 +264,13 @@ def nation_trade_balance(sf_dir: str):
                          "s_n": pa.array(z, pa.int64()),
                          "s_cents": pa.array(z, pa.int64())})
 
-    cust = _read(sf_dir, "customer",
+    cust = _read_sized(sf_dir, "customer",
                  columns=["c_nationkey", "c_acctbal"]) \
         .map_batches(cust_partial, batch_format="pyarrow")
-    supp = _read(sf_dir, "supplier",
+    supp = _read_sized(sf_dir, "supplier",
                  columns=["s_nationkey", "s_acctbal"]) \
         .map_batches(supp_partial, batch_format="pyarrow")
-    seed = _read(sf_dir, "nation", columns=["n_nationkey"]) \
+    seed = _read_sized(sf_dir, "nation", columns=["n_nationkey"]) \
         .map_batches(nation_seed, batch_format="pyarrow")
     ds = cust.union(supp, seed).groupby("nationkey").aggregate(
         Sum("c_n"), Sum("c_cents"), Sum("s_n"), Sum("s_cents"))
@@ -319,7 +319,7 @@ def events_anomaly(sf_dir: str, sigmas: float = 3.0):
     (no stddev_samp ambiguity)."""
     import ray
 
-    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+    ds = _read_sized(sf_dir, "events", columns=["user_id", "value"])
 
     def upartial(batch: pa.Table) -> pa.Table:
         v = np.asarray(batch.column("value"))
@@ -351,7 +351,7 @@ def events_anomaly(sf_dir: str, sigmas: float = 3.0):
 
     sref = _collect.remote(*stat_refs)
 
-    ev = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    ev = _read_sized(sf_dir, "events", columns=["user_id", "event_type", "value"])
 
     def flag(batch: pa.Table) -> pa.Table:
         m = ray.get(sref)
@@ -505,7 +505,7 @@ def corpus_curation(sf_dir: str, min_chars: int = 100,
     import hashlib
     from ray.data.aggregate import Sum
     from .table_ops import _partitioned_agg
-    ds = _read(sf_dir, "documents",
+    ds = _read_sized(sf_dir, "documents",
                columns=["doc_id", "text", "lang", "n_chars"])
 
     def screen(batch: pa.Table) -> pa.Table:
