@@ -521,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_block_stats": table_ops_r4b.html_block_stats,
         "corpus_curation": table_ops_r4b.corpus_curation,
         "spans_reassemble": table_ops_r4b.spans_reassemble,
+        "media_training_manifest": table_ops_r4b.media_training_manifest,
     }
 
 
@@ -1494,5 +1495,37 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n, 0)::INT AS n_text_spans,
                    md5(coalesce(a.body, '')) AS clean_text_md5
             FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+        """,
+        "media_training_manifest": """
+            WITH base AS (
+              SELECT doc_id::VARCHAR AS doc_id,
+                     len(regexp_extract_all(text, '\\S+')) AS nt
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, unnest(generate_series(0, (nt + 4) // 5 - 1))
+                         AS c
+              FROM base WHERE nt > 0),
+            gallery AS (
+              SELECT doc_id,
+                     'img_p' || (c // 8)::VARCHAR || '_' || ctr::VARCHAR
+                         AS media_ref,
+                     (c + ctr - 1)::INT AS off
+              FROM (
+                SELECT doc_id, c,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c) AS ctr
+                FROM chunks
+                WHERE ('0x' || substr(md5(doc_id || ':' || c), 1, 8))
+                          ::UBIGINT % 12 = 0)),
+            feats AS (
+              SELECT doc_id::VARCHAR AS doc_id,
+                     (64 + ('0x' || substr(md5(text), 1, 2))::INT)::INT
+                         AS width,
+                     (64 + ('0x' || substr(md5(text), 3, 2))::INT)::INT
+                         AS height
+              FROM documents)
+            SELECT g.doc_id, g.media_ref, g.off AS "offset",
+                   f.width, f.height
+            FROM gallery g JOIN feats f USING (doc_id)
         """,
     }

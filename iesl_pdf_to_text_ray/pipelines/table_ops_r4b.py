@@ -598,3 +598,39 @@ def spans_reassemble(sf_dir: str, sep: str = " | "):
             schema=_REASSEMBLE_SCHEMA)
 
     return ds.map_batches(reassemble, batch_format="pyarrow")
+
+
+# ------------------------------------------- multimodal training manifest
+
+_MANIFEST_SCHEMA = pa.schema([
+    ("doc_id", pa.string()), ("media_ref", pa.string()),
+    ("offset", pa.int32()), ("width", pa.int32()),
+    ("height", pa.int32())])
+
+
+def media_training_manifest(sf_dir: str):
+    """The multimodal training join: every media span of the interleaved
+    corpus paired with its decoded image features — the manifest a
+    vision-text training loader consumes (doc, figure ref, document-order
+    position, pixel dimensions).  Left side is the spans media gallery,
+    right side the actor-pool decode stage's feature table; both are
+    corpus-sized, so they meet in the partitioned hash join (no
+    broadcast), with the column projection folded into the partition
+    merge."""
+    from .joins import hash_join
+    from .table_ops import media_features
+    gallery = spans_media_gallery(sf_dir)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "f_doc_id": batch.column("doc_id"),
+            "width": batch.column("width"),
+            "height": batch.column("height")})
+
+    feats = media_features(sf_dir).map_batches(tag, batch_format="pyarrow")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "media_ref", "offset", "width", "height"]]
+
+    return hash_join(gallery, feats, "doc_id", "f_doc_id",
+                     merge_post=project, post_schema=_MANIFEST_SCHEMA)

@@ -284,3 +284,17 @@ def test_components_local_and_distributed_paths_agree(ray_session):
     pd.testing.assert_frame_equal(local, dist)
     # the graph is non-trivial: at least one multi-doc component
     assert (local.component != local.doc_id).any()
+
+
+# ------------------------------------------------- media_training_manifest
+
+def test_media_training_manifest_matches_oracle(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r4b import \
+        media_training_manifest
+    got = _pd(media_training_manifest(SF))
+    _assert_matches_oracle("media_training_manifest", got)
+    # every media span finds exactly one feature row (inner join keeps all)
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r4b import \
+        spans_media_gallery
+    assert len(got) == len(_pd(spans_media_gallery(SF)))
+    assert (got.width >= 64).all() and (got.height >= 64).all()
