@@ -416,17 +416,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                 table_ops_r4,
                                                 table_ops_r4b)
 
+    # Ordering contract: the driver's CORRECTNESS window covers the FIRST
+    # 50 entries in this dict.  All oracle-backed queries therefore come
+    # first; the rows-only (no oracle_sql) group is appended at the very
+    # end so the hard-signal window is 50/50 value-checked.
     return {
-        # extraction engine (non-SQL; golden-verified via pytest)
-        "extract_corpus": extract_corpus_query,
-        "extract_corpus_split": extract_corpus_split_query,
-        "extract_corpus_chunked": extract_corpus_chunked_query,
-        "extract_corpus_ranged": extract_corpus_ranged_query,
-        "extract_html_corpus": extract_html_corpus_query,
         "spans_normalize": spans_ops.spans_pipeline,
         # dedup family
         "dedup_exact": table_ops.dedup_exact,
-        "dedup_minhash": table_ops.dedup_minhash,
         "dedup_simhash": table_ops.dedup_simhash,
         "dedup_ngram_jaccard": table_ops.dedup_ngram_jaccard,
         # text analysis
@@ -440,18 +437,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_predict": table_ops.langid_predict,
         # similarity search
         "ann_bruteforce": table_ops.ann_bruteforce,
-        "ann_ivf": table_ops.ann_ivf,
-        "ann_quantized": table_ops.ann_quantized,
         "embedding_neardup": table_ops.embedding_neardup,
         # multimodal
         "media_features": table_ops.media_features,
         "media_frames": table_ops.media_frames,
-        "pdf_media": pdf_media_query,
-        "pdf_metadata": pdf_metadata_query,
-        "pdf_text_items": pdf_text_items_query,
-        "pdf_corpus_curation": pdf_corpus_curation_query,
-        "extract_layout": extract_layout_query,
-        "pdf_training_text": pdf_training_text_query,
         # streaming-ish / relational
         "events_hourly": table_ops.events_hourly,
         "events_daily_pivot": table_ops.events_daily_pivot,
@@ -461,7 +450,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": table_ops.events_sessionize,
         "events_sessionize_scalable": table_ops.events_sessionize_scalable,
         "distinct_users": table_ops.distinct_users,
-        "distinct_users_hll": table_ops.distinct_users_hll,
         "revenue_by_nation": table_ops.revenue_by_nation,
         "order_revenue": table_ops.order_revenue,
         "local_supplier_revenue": table_ops.local_supplier_revenue,
@@ -483,7 +471,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": table_ops.customer_order_distribution,
         "weighted_sample": table_ops.weighted_sample,
         "orders_with_bulk_items": table_ops.orders_with_bulk_items,
-        "pricing_quantiles_sketch": table_ops.pricing_quantiles_sketch,
         # round-4 pack: TPC-H Q3/Q6/Q10/Q14/Q17/Q18 flavors, window
         # family completion, behavioral analytics, corpus statistics
         "forecast_revenue": table_ops_r4.forecast_revenue,
@@ -502,7 +489,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": table_ops_r4.doc_length_histogram,
         "keyword_doc_counts": table_ops_r4.keyword_doc_counts,
         "label_centroids": table_ops_r4.label_centroids,
-        "ann_lsh": table_ops_r4.ann_lsh,
         "events_props_stats": table_ops_r4.events_props_stats,
         "knn_classify": table_ops_r4.knn_classify,
         "events_retention": table_ops_r4.events_retention,
@@ -518,10 +504,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_balance": table_ops_r4b.nation_trade_balance,
         "events_anomaly": table_ops_r4b.events_anomaly,
         "spans_media_gallery": table_ops_r4b.spans_media_gallery,
-        "html_block_stats": table_ops_r4b.html_block_stats,
         "corpus_curation": table_ops_r4b.corpus_curation,
         "spans_reassemble": table_ops_r4b.spans_reassemble,
         "media_training_manifest": table_ops_r4b.media_training_manifest,
+        # ---- rows-only group (no oracle_sql entry; see rationale comment
+        # below queries()) — kept LAST so the driver's 50-query oracle
+        # window lands entirely on value-checked queries ----
+        "extract_corpus": extract_corpus_query,
+        "extract_corpus_split": extract_corpus_split_query,
+        "extract_corpus_chunked": extract_corpus_chunked_query,
+        "extract_corpus_ranged": extract_corpus_ranged_query,
+        "extract_html_corpus": extract_html_corpus_query,
+        "dedup_minhash": table_ops.dedup_minhash,
+        "ann_ivf": table_ops.ann_ivf,
+        "ann_quantized": table_ops.ann_quantized,
+        "ann_lsh": table_ops_r4.ann_lsh,
+        "pdf_media": pdf_media_query,
+        "pdf_metadata": pdf_metadata_query,
+        "pdf_text_items": pdf_text_items_query,
+        "pdf_corpus_curation": pdf_corpus_curation_query,
+        "extract_layout": extract_layout_query,
+        "pdf_training_text": pdf_training_text_query,
+        "distinct_users_hll": table_ops.distinct_users_hll,
+        "pricing_quantiles_sketch": table_ops.pricing_quantiles_sketch,
+        "html_block_stats": table_ops_r4b.html_block_stats,
     }
 
 
