@@ -414,7 +414,8 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from iesl_pdf_to_text_ray.pipelines import (spans_ops, table_ops,
                                                 table_ops_r4,
-                                                table_ops_r4b)
+                                                table_ops_r4b,
+                                                table_ops_r5)
 
     # Ordering contract: the driver's CORRECTNESS window covers the FIRST
     # 50 entries in this dict.  All oracle-backed queries therefore come
@@ -507,6 +508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": table_ops_r4b.corpus_curation,
         "spans_reassemble": table_ops_r4b.spans_reassemble,
         "media_training_manifest": table_ops_r4b.media_training_manifest,
+        # round-5 pack: skew-hardened joins (hot-key salting)
+        "skewed_part_revenue": table_ops_r5.skewed_part_revenue,
         # ---- rows-only group (no oracle_sql entry; see rationale comment
         # below queries()) — kept LAST so the driver's 50-query oracle
         # window lands entirely on value-checked queries ----
@@ -1533,5 +1536,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.doc_id, g.media_ref, g.off AS "offset",
                    f.width, f.height
             FROM gallery g JOIN feats f USING (doc_id)
+        """,
+        "skewed_part_revenue": """
+            WITH lk AS (
+              SELECT CASE WHEN l_partkey % 50 < 10
+                          THEN 1 ELSE l_partkey END AS skew_key,
+                     CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                + 0.5) AS BIGINT) AS cents
+              FROM lineitem),
+            pk AS (
+              SELECT CASE WHEN p_partkey % 50 < 10
+                          THEN 1 ELSE p_partkey END AS skew_key,
+                     count(*)::BIGINT AS n_in_bucket
+              FROM part GROUP BY 1)
+            SELECT lk.skew_key, pk.n_in_bucket,
+                   count(*)::BIGINT AS n_items,
+                   CAST(sum(lk.cents) AS BIGINT) AS revenue_cents
+            FROM lk JOIN pk ON lk.skew_key = pk.skew_key
+            GROUP BY 1, 2 ORDER BY 1
         """,
     }

@@ -58,7 +58,74 @@ def _arrow_type(t) -> pa.DataType:
             object: pa.string()}[t]
 
 
-def _flat_union(left, right, left_key: str, right_key: str, n_parts: int):
+def _topk_key_counts(ds, key: str, max_hot: int = 64) -> dict:
+    """Per-batch partial top-``max_hot`` key counts, folded on the driver.
+
+    Map-only pass; the collected partials are bounded at ``max_hot`` rows
+    per block, so the driver-side fold is tiny regardless of data size.
+    A key whose global count exceeds any realistic salting budget is, by
+    pigeonhole, near the top of most batch-local counts, so the top-k
+    partials are a faithful *hot-key detector* even though mid-tail
+    counts are underestimates.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(key).to_pandas()
+        vc = s.value_counts().head(max_hot)
+        keys = pa.array(vc.index.to_numpy(),
+                        type=batch.schema.field(key).type)
+        return pa.table({"__k": keys,
+                         "__c": pa.array(vc.to_numpy(), pa.int64())})
+
+    from collections import Counter
+    tot: Counter = Counter()
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        tot[row["__k"]] += row["__c"]
+    return dict(tot)
+
+
+def _salted_parts(vals: np.ndarray, side: int, n_parts: int,
+                  base_part: np.ndarray, hot: dict):
+    """Partition assignment with hot-key salting.
+
+    ``hot``: {key: (offset, k)} — hot key's rows live in the dedicated
+    partition range [offset, offset + k) past the ``n_parts`` hash range.
+    Left (side 0) rows of a hot key are SPLIT round-robin across the k
+    salted partitions; right (side 1) rows are REPLICATED into all k
+    (the classic salt-the-probe / replicate-the-build recipe — correct
+    for inner/left/semi/anti because each left row still meets every
+    right row of its key exactly once).
+
+    Returns (take_idx | None, parts): ``take_idx`` is None when no row
+    needed replication (zero-copy fast path).
+    """
+    if not hot:
+        return None, base_part
+    parts = base_part.copy()
+    hot_any = np.zeros(len(vals), dtype=bool)
+    rep_idx, rep_parts = [], []
+    for key, (off, k) in hot.items():
+        m = vals == key
+        cnt = int(m.sum())
+        if not cnt:
+            continue
+        hot_any |= m
+        if side == 0:
+            parts[m] = off + (np.arange(cnt, dtype=np.int64) % k)
+        else:
+            ii = np.flatnonzero(m)
+            rep_idx.append(np.tile(ii, k))
+            rep_parts.append(np.repeat(
+                np.arange(off, off + k, dtype=np.int64), cnt))
+    if side == 0 or not rep_idx:
+        return None, parts
+    keep = np.flatnonzero(~hot_any)
+    take_idx = np.concatenate([keep] + rep_idx)
+    parts = np.concatenate([parts[keep]] + rep_parts).astype(np.int32)
+    return take_idx, parts
+
+
+def _flat_union(left, right, left_key: str, right_key: str, n_parts: int,
+                hot: dict | None = None):
     """Tag + widen both sides to one flat schema; returns (tagged_ds,
     l_names, r_names, out_schema)."""
     l_schema = left.schema()
@@ -72,10 +139,16 @@ def _flat_union(left, right, left_key: str, right_key: str, n_parts: int):
 
     def tag(side: int, on: str):
         def f(batch: pa.Table) -> pa.Table:
+            part = _part_of(batch.column(on), n_parts)
+            if hot:
+                vals = batch.column(on).to_pandas().to_numpy()
+                take_idx, part = _salted_parts(
+                    vals, side, n_parts, part, hot)
+                if take_idx is not None:
+                    batch = batch.take(take_idx)
             n = batch.num_rows
             cols = {
-                "part": pa.array(_part_of(batch.column(on), n_parts),
-                                 pa.int32()),
+                "part": pa.array(part.astype(np.int32), pa.int32()),
                 "side": pa.array(np.full(n, side, dtype=np.int8),
                                  pa.int8())}
             mine = set(batch.column_names)
@@ -102,7 +175,8 @@ def _split_sides(group: pa.Table, l_names, r_names):
 
 def hash_join(left, right, left_on: str, right_on: str, *,
               n_parts: int = 32, how: str = "inner",
-              merge_post=None, post_schema: pa.Schema | None = None):
+              merge_post=None, post_schema: pa.Schema | None = None,
+              salt_budget: int | None = None, max_salts: int = 16):
     """left/right: ray.data.Datasets with disjoint column names.  Returns
     a Dataset with the union of both sides' columns.
 
@@ -111,9 +185,34 @@ def hash_join(left, right, left_on: str, right_on: str, *,
     join key's rows are fully co-located in one partition, key-grouped
     aggregation/top-k folded in here is *exact* and removes the second
     shuffle over the raw join output — the partial-within-the-join
-    pattern."""
+    pattern.
+
+    ``salt_budget``: hot-key skew guard.  When set, a map-only partial
+    top-k count pass over the LEFT side detects keys whose row count
+    exceeds the budget; each such key gets ceil(count/budget) dedicated
+    salted partitions (capped at ``max_salts``) — left rows split
+    round-robin, right rows replicated — so no single merge task ever
+    holds more than ~budget left rows of one key.  Incompatible with
+    ``merge_post`` (per-partition key aggregation would see a salted
+    key's rows split across partitions and emit partial groups)."""
+    hot: dict = {}
+    if salt_budget is not None:
+        if merge_post is not None:
+            raise ValueError("salt_budget cannot be combined with "
+                             "merge_post: salted keys span partitions, "
+                             "so per-partition key aggregation would be "
+                             "partial")
+        counts = _topk_key_counts(left, left_on)
+        off = n_parts
+        for key, cnt in sorted(counts.items(),
+                               key=lambda kv: -kv[1]):
+            if cnt <= salt_budget or key is None:
+                continue
+            k = min(max_salts, -(-cnt // salt_budget))
+            hot[key] = (off, k)
+            off += k
     tagged, l_names, r_names, out_schema = _flat_union(
-        left, right, left_on, right_on, n_parts)
+        left, right, left_on, right_on, n_parts, hot or None)
     if how in ("anti", "semi") and merge_post is None:
         # existence joins keep only left columns (fields from the flat
         # union schema — already valid pyarrow types)
@@ -142,7 +241,8 @@ def hash_join(left, right, left_on: str, right_on: str, *,
     # partition count, not the accidental input block count — sort-shuffle
     # cost scales with (input blocks x reduce partitions), and letting the
     # reduce default to the block count cost ~4x wall time at small scale
-    return tagged.groupby("part", num_partitions=n_parts) \
+    n_reduce = n_parts + sum(k for _, k in hot.values())
+    return tagged.groupby("part", num_partitions=n_reduce) \
         .map_groups(merge, batch_format="pyarrow")
 
 

@@ -1,0 +1,149 @@
+"""Round-5 hardening tests: hot-key salting in the hash join (the
+round-4 verdict's named scale-killer — salting was documented but not
+implemented), and the skew-hardened driver query built on it."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pd(res):
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _zipf_frames(n_left=20_000, hot_share=0.4, n_keys=500, seed=11):
+    """Left fact table with one key holding ``hot_share`` of all rows;
+    right dim with one row per key."""
+    rng = np.random.default_rng(seed)
+    n_hot = int(n_left * hot_share)
+    cold = rng.integers(1, n_keys, n_left - n_hot)
+    keys = np.concatenate([np.zeros(n_hot, dtype=np.int64), cold])
+    rng.shuffle(keys)
+    left = pd.DataFrame({"k": keys.astype("int64"),
+                         "v": rng.integers(0, 1000, n_left)
+                                .astype("int64")})
+    right = pd.DataFrame({"rk": np.arange(n_keys, dtype=np.int64),
+                          "w": np.arange(n_keys, dtype=np.int64) * 10})
+    return left, right
+
+
+# ------------------------------------------------ partition-bound proof
+
+def test_salted_parts_bounds_hot_key():
+    """Direct unit check of the partition assignment: with a 40%-hot key
+    salted k ways, no partition receives more than ~1/k of the hot rows
+    (plus its hash share of cold keys) — the per-task bound the 100 TB
+    story needs."""
+    from iesl_pdf_to_text_ray.pipelines.joins import (_part_of,
+                                                      _salted_parts)
+    left, _ = _zipf_frames()
+    vals = left["k"].to_numpy()
+    n_parts = 16
+    base = _part_of(pa.chunked_array([pa.array(vals)]), n_parts)
+
+    # unsalted: the hot key's full row set lands in ONE partition
+    unsalted_max = np.bincount(base, minlength=n_parts).max()
+    n_hot = int((vals == 0).sum())
+    assert unsalted_max >= n_hot  # the skew pathology being fixed
+
+    k = 8
+    hot = {0: (n_parts, k)}
+    take_idx, parts = _salted_parts(vals, 0, n_parts, base, hot)
+    assert take_idx is None  # left side splits in place, no replication
+    sizes = np.bincount(parts, minlength=n_parts + k)
+    # every salted partition holds ~n_hot/k rows (round-robin exact)
+    salted = sizes[n_parts:]
+    assert salted.sum() == n_hot
+    assert salted.max() <= -(-n_hot // k)
+    # and no remaining partition holds the hot key at all
+    assert sizes.max() <= max(salted.max(),
+                              np.bincount(base[vals != 0],
+                                          minlength=n_parts).max())
+
+    # right side: hot rows replicate into all k salted partitions
+    rvals = np.array([0, 3, 0, 7], dtype=np.int64)
+    rbase = _part_of(pa.chunked_array([pa.array(rvals)]), n_parts)
+    take_idx, rparts = _salted_parts(rvals, 1, n_parts, rbase, hot)
+    assert take_idx is not None
+    # 2 cold rows kept once + 2 hot rows x k replicas
+    assert len(take_idx) == 2 + 2 * k
+    assert (np.bincount(rparts, minlength=n_parts + k)[n_parts:] == 2) \
+        .all()
+
+
+# ------------------------------------------------ end-to-end equality
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_salted_hash_join_matches_pandas(ray_session, how):
+    """Salting must be invisible in the result: every join flavor equals
+    the pandas reference on a 40%-hot-key input."""
+    import ray.data
+    from iesl_pdf_to_text_ray.pipelines.joins import hash_join
+
+    left, right = _zipf_frames(n_left=6_000, n_keys=120)
+    # anti/semi need some left keys absent from right
+    right = right[right["rk"] % 7 != 0].reset_index(drop=True)
+
+    out = _pd(hash_join(ray.data.from_pandas(left),
+                        ray.data.from_pandas(right), "k", "rk",
+                        n_parts=8, how=how, salt_budget=500))
+    if how == "inner":
+        gold = left.merge(right, left_on="k", right_on="rk")
+    elif how == "left":
+        gold = left.merge(right, left_on="k", right_on="rk", how="left")
+    elif how == "semi":
+        gold = left[left["k"].isin(right["rk"])]
+    else:
+        gold = left[~left["k"].isin(right["rk"])]
+    cols = list(gold.columns)
+    out = out[cols].sort_values(cols).reset_index(drop=True)
+    gold = gold.sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, gold, check_dtype=False)
+
+
+def test_salt_budget_rejects_merge_post(ray_session):
+    import ray.data
+    from iesl_pdf_to_text_ray.pipelines.joins import hash_join
+    left, right = _zipf_frames(n_left=100, n_keys=10)
+    with pytest.raises(ValueError, match="salt_budget"):
+        hash_join(ray.data.from_pandas(left),
+                  ray.data.from_pandas(right), "k", "rk",
+                  salt_budget=10, merge_post=lambda df: df)
+
+
+def test_hot_key_census_finds_the_hot_key(ray_session):
+    import ray.data
+    from iesl_pdf_to_text_ray.pipelines.joins import _topk_key_counts
+    left, _ = _zipf_frames(n_left=8_000, hot_share=0.3)
+    counts = _topk_key_counts(ray.data.from_pandas(left), "k")
+    assert counts[0] == int((left["k"] == 0).sum())  # exact for the head
+
+
+# ------------------------------------------------ driver query oracle
+
+def test_skewed_part_revenue_matches_duckdb(ray_session):
+    import duckdb
+    import __ray_entry__ as E
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5 import \
+        skewed_part_revenue
+
+    # budget low enough that the hot key salts even at sf0.001
+    mine = _pd(skewed_part_revenue(SF, salt_budget=200))
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    gold = con.execute(E.oracle_sql()["skewed_part_revenue"]).fetchdf()
+    mine = mine.sort_values("skew_key").reset_index(drop=True)
+    gold = gold.sort_values("skew_key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, gold, check_dtype=False)
