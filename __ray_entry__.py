@@ -58,12 +58,10 @@ def extract_html_corpus_query(sf_dir: str):
     tests/test_html_extract.py."""
     import pyarrow as pa
     from iesl_pdf_to_text_ray.sources.html_corpus import \
-        synthesize_html_corpus
+        cached_html_corpus
     from iesl_pdf_to_text_ray.stages.html_extract import (
         extract_html_dataset, spans_digest)
-    d = os.path.join(_CORPUS_CACHE, "html_n32")
-    if not os.path.exists(os.path.join(d, "part-00000.parquet")):
-        synthesize_html_corpus(d, n_docs=32, n_shards=4)
+    d = cached_html_corpus(_CORPUS_CACHE, n_docs=32, n_shards=4)
     ds = extract_html_dataset(d, concurrency=(1, 4), batch_size=8)
 
     def summarize(batch: pa.Table) -> pa.Table:
@@ -602,7 +600,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": """
             SELECT lang,
-                   sum(len(regexp_extract_all(text, '\\S+')))::BIGINT
+                   sum(len(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')))::BIGINT
                        AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY lang
@@ -610,7 +608,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_bpe": """
             SELECT doc_id,
                    len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))::BIGINT
+                       '[A-Za-z]+|[0-9]+|[^ \\t\\n\\r\\f\\vA-Za-z0-9]'))::BIGINT
                        AS bpe_tokens
             FROM documents
         """,
@@ -621,7 +619,8 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(length(text), 1) AS alpha_ratio,
                    (length(text) - length(replace(text, ' ', '')))
                        / greatest(length(text), 1) AS space_ratio,
-                   length(regexp_replace(text, '[\\sA-Za-z0-9]', '', 'g'))
+                   length(regexp_replace(text,
+                          '[ \\t\\n\\r\\f\\vA-Za-z0-9]', '', 'g'))
                        / greatest(length(text), 1) AS punct_ratio
             FROM documents
         """,
@@ -630,7 +629,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": """
             WITH toks AS (
-              SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+              SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+') AS t
               FROM documents),
             sh AS (
               SELECT doc_id,
@@ -649,7 +648,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_simhash": """
             WITH toks AS (
-              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+              SELECT doc_id, unnest(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')) AS tok
               FROM documents),
             th AS (
               SELECT doc_id,
@@ -678,7 +677,7 @@ def oracle_sql() -> dict[str, str]:
                 length(regexp_replace(substr(text, 1, 200),
                        '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 5 AS cjk,
                 list_distinct(regexp_extract_all(lower(text),
-                                                 '\\S+')[1:200]) AS tk
+                                                 '[^ \\t\\n\\r\\f\\v]+')[1:200]) AS tk
               FROM documents),
             s AS (
               SELECT doc_id, lang, cjk,
@@ -703,7 +702,7 @@ def oracle_sql() -> dict[str, str]:
         "spans_normalize": """
             WITH base AS (
               SELECT doc_id::VARCHAR AS doc_id,
-                     len(regexp_extract_all(text, '\\S+')) AS nt
+                     len(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')) AS nt
               FROM documents),
             chunks AS (
               SELECT doc_id, unnest(generate_series(0, (nt + 4) // 5 - 1))
@@ -993,7 +992,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "neardup_components": """
             WITH RECURSIVE toks AS (
-              SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+              SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+') AS t
               FROM documents),
             sh AS (
               SELECT doc_id,
@@ -1038,7 +1037,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "contamination_check": """
             WITH toks AS (
-              SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+              SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+') AS t
               FROM documents),
             sh AS (
               SELECT doc_id, list_distinct(list_transform(
@@ -1232,7 +1231,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "neardup_degree": """
             WITH toks AS (
-              SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+              SELECT doc_id, regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+') AS t
               FROM documents),
             sh AS (
               SELECT doc_id,
@@ -1316,7 +1315,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": """
             WITH base AS (
               SELECT doc_id::VARCHAR AS doc_id,
-                     regexp_extract_all(text, '\\S+') AS toks
+                     regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+') AS toks
               FROM documents),
             c AS (
               SELECT doc_id, toks,
@@ -1333,7 +1332,7 @@ def oracle_sql() -> dict[str, str]:
         "token_diversity": """
             WITH t AS (
               SELECT doc_id::VARCHAR AS doc_id,
-                     unnest(regexp_extract_all(text, '\\S+')) AS tok
+                     unnest(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')) AS tok
               FROM documents),
             cnt AS (
               SELECT doc_id, tok, count(*) AS c
@@ -1402,14 +1401,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, count(*)::DOUBLE AS n,
                      sum(value) AS s1, sum(value * value) AS s2
               FROM events GROUP BY user_id),
+            s AS (
+              SELECT user_id, s1 / n AS m,
+                     greatest(s2 / n - (s1 / n) * (s1 / n), 0.0) AS var
+              FROM u),
             f AS (
               SELECT e.event_type,
-                     CASE WHEN (e.value - u.s1 / u.n)
-                               * (e.value - u.s1 / u.n)
-                              > 9.0 * (u.s2 / u.n
-                                       - (u.s1 / u.n) * (u.s1 / u.n))
+                     CASE WHEN (e.value - s.m) * (e.value - s.m)
+                              - 9.0 * s.var > 1e-6
                           THEN 1 ELSE 0 END AS o
-              FROM events e JOIN u USING (user_id))
+              FROM events e JOIN s USING (user_id))
             SELECT event_type, count(*)::BIGINT AS n_events,
                    sum(o)::BIGINT AS n_outliers
             FROM f GROUP BY event_type
@@ -1417,7 +1418,7 @@ def oracle_sql() -> dict[str, str]:
         "spans_media_gallery": """
             WITH base AS (
               SELECT doc_id::VARCHAR AS doc_id,
-                     len(regexp_extract_all(text, '\\S+')) AS nt
+                     len(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')) AS nt
               FROM documents),
             chunks AS (
               SELECT doc_id, unnest(generate_series(0, (nt + 4) // 5 - 1))
@@ -1438,7 +1439,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_curation": """
             WITH toks AS (
-              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+'))
+              SELECT doc_id, unnest(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+'))
                          AS tok
               FROM documents),
             cnt AS (
@@ -1464,7 +1465,7 @@ def oracle_sql() -> dict[str, str]:
         "spans_reassemble": """
             WITH base AS (
               SELECT doc_id::VARCHAR AS doc_id,
-                     regexp_extract_all(text, '\\S+') AS toks
+                     regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+') AS toks
               FROM documents),
             chunks AS (
               SELECT doc_id, toks,
@@ -1508,7 +1509,7 @@ def oracle_sql() -> dict[str, str]:
         "media_training_manifest": """
             WITH base AS (
               SELECT doc_id::VARCHAR AS doc_id,
-                     len(regexp_extract_all(text, '\\S+')) AS nt
+                     len(regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+')) AS nt
               FROM documents),
             chunks AS (
               SELECT doc_id, unnest(generate_series(0, (nt + 4) // 5 - 1))

@@ -155,21 +155,32 @@ def _classify(blocks: list[_Block]) -> list[str]:
     return out
 
 
-def extract_main_spans(html: str) -> list[dict]:
-    """HTML string -> interleaved span dicts
-    ``{kind, text, media_ref, offset}`` in document order: retained text
-    blocks plus <img> refs belonging to retained blocks (an image inside
-    a boilerplate block is boilerplate too — e.g. nav logos)."""
+def parse_blocks(html: str):
+    """One parser pass over the document; returns the segmented blocks.
+    Callers needing both a label census and span extraction parse once
+    here and feed the blocks to ``_classify`` / ``spans_from_blocks``."""
     p = _MainContentParser()
     try:
         p.feed(html or "")
         p.close()
     except Exception:
         pass   # stdlib parser is lenient; keep whatever was segmented
-    labels = _classify(p.blocks)
+    return p.blocks
+
+
+def extract_main_spans(html: str) -> list[dict]:
+    """HTML string -> interleaved span dicts
+    ``{kind, text, media_ref, offset}`` in document order: retained text
+    blocks plus <img> refs belonging to retained blocks (an image inside
+    a boilerplate block is boilerplate too — e.g. nav logos)."""
+    blocks = parse_blocks(html)
+    return spans_from_blocks(blocks, _classify(blocks))
+
+
+def spans_from_blocks(blocks, labels) -> list[dict]:
     spans: list[dict] = []
     offset = 0
-    for b, label in zip(p.blocks, labels):
+    for b, label in zip(blocks, labels):
         if label != "good":
             continue
         # interleave media at their recorded positions within the block

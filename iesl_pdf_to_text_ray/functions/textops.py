@@ -13,10 +13,13 @@ import re
 import numpy as np
 import pyarrow as pa
 
-_TOKEN_RE = re.compile(r"\S+")
+# explicit ASCII whitespace class: Python's Unicode \S and RE2's ASCII
+# \S (DuckDB oracles) disagree on NBSP/U+2028 etc.; naming the set pins
+# token boundaries identically on both engines for ANY input
+_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
 # BPE-ish subword splitter: words, numbers, punctuation runs (ASCII digit
 # classes so the DuckDB oracle regex is byte-identical)
-_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^ \t\n\r\f\vA-Za-z0-9]")
 
 # tiny public stopword sets for the language-ID heuristic
 _STOPWORDS = {
@@ -51,7 +54,7 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     denom = length.clip(lower=1).astype("float64")
     alpha = text.str.count(r"[a-zA-Z]").astype("float64")
     space = text.str.count(r" ").astype("float64")
-    punct = text.str.count(r"[^\sA-Za-z0-9]").astype("float64")
+    punct = text.str.count(r"[^ \t\n\r\f\vA-Za-z0-9]").astype("float64")
     # raw IEEE-754 ratios: a/b in float64 is bit-identical across engines,
     # while decimal rounding differs (banker's vs half-away)
     return pa.table({

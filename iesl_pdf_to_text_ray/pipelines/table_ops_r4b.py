@@ -24,7 +24,8 @@ import pandas as pd
 import pyarrow as pa
 
 from .joins import _pd_table
-from .table_ops import _cents, _md5_bucket32, _read, _read_sized
+from .table_ops import (_cents, _md5_bucket32, _partitioned_agg, _read,
+                        _read_sized)
 from .table_ops_r4 import _scalar_reduce
 
 # --------------------------------------------------- training-chunk split
@@ -48,7 +49,7 @@ def doc_chunks(sf_dir: str, chunk_tokens: int = 64):
         ids = batch.column("doc_id").to_pylist()
         # vectorized tokenization: one pandas findall over the batch
         toks_col = pd.Series(batch.column("text").to_pylist(),
-                             dtype=object).str.findall(r"\S+")
+                             dtype=object).str.findall(r"[^ \t\n\r\f\v]+")
         out_id, out_idx, out_n, out_md5 = [], [], [], []
         for doc_id, toks in zip(ids, toks_col):
             for c in range(0, (len(toks) + chunk_tokens - 1)
@@ -90,7 +91,7 @@ def token_diversity(sf_dir: str):
     def stats(batch: pa.Table) -> pa.Table:
         ids = [str(d) for d in batch.column("doc_id").to_pylist()]
         toks_col = pd.Series(batch.column("text").to_pylist(),
-                             dtype=object).str.findall(r"\S+")
+                             dtype=object).str.findall(r"[^ \t\n\r\f\v]+")
         n_tok, n_dis, top = [], [], []
         for toks in toks_col:
             n = len(toks)
@@ -192,10 +193,16 @@ def discount_bracket_revenue(sf_dir: str):
         pos = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
         b, s = brand[pos], size[pos]
         qty = np.asarray(batch.column("l_quantity"))
-        mask = (((b <= 8) & (s <= 10) & (qty <= 15)) |
-                ((b > 8) & (b <= 16) & (s <= 20) & (qty >= 10)
-                 & (qty <= 30)) |
-                ((b > 16) & (s <= 30) & (qty >= 25)))
+        # exact-key guard: a partkey absent from part must DROP, not
+        # adopt its searchsorted neighbor's brand/size (inner-join null
+        # semantics; TPC-H FK integrity makes this a no-op, but the
+        # operator must not rely on it)
+        found = pk[pos] == lp
+        mask = (found &
+                (((b <= 8) & (s <= 10) & (qty <= 15)) |
+                 ((b > 8) & (b <= 16) & (s <= 20) & (qty >= 10)
+                  & (qty <= 30)) |
+                 ((b > 16) & (s <= 30) & (qty >= 25))))
         price = np.asarray(batch.column("l_extendedprice"))[mask]
         disc = np.asarray(batch.column("l_discount"))[mask]
         cents = _cents(price * (1.0 - disc))
@@ -305,19 +312,29 @@ _USTAT_PARTIAL = pa.schema([
     ("s1", pa.float64()), ("s2", pa.float64())])
 
 
+_USTAT_SCHEMA = pa.schema([
+    ("s_user_id", pa.int64()), ("u_mean", pa.float64()),
+    ("u_var", pa.float64())])
+_ANOM_PARTIAL = pa.schema([
+    ("event_type", pa.string()), ("part_n", pa.int64()),
+    ("part_out", pa.int64())])
+
+
 def events_anomaly(sf_dir: str, sigmas: float = 3.0):
-    """Per-user z-score outlier screen: pass 1 reduces events to per-user
-    (count, sum, sum-of-squares) — fully vectorized per-batch partials
-    (rows O(users x blocks), not O(events)) merged into sorted stat
-    arrays inside ONE worker task (no shuffle: the partial table fits a
-    single object-store object for any user domain that the broadcast
-    itself can serve; a 10^9-user domain would swap this merge for
-    ``_partitioned_agg`` and a partitioned pass 2); pass 2 streams
-    events again and counts, per event_type, values with (v - mean)^2 >
-    sigmas^2 * variance.  Mean/variance are derived from the same plain
-    sums on both engines, so the oracle states the identical expression
-    (no stddev_samp ambiguity)."""
-    import ray
+    """Per-user z-score outlier screen, partitioned end to end: pass 1
+    reduces events to per-batch per-user (count, sum, sum-of-squares)
+    partials and folds them into per-user (mean, variance) inside a
+    32-way ``_partitioned_agg`` — each task holds only its hash shard of
+    the user domain, so a 10^9-user corpus just raises ``n_parts``.
+    Pass 2 hash-joins events against that sharded stat table (one
+    shuffle of events, same-key co-location) and flags, per event_type,
+    values whose outlier margin ``(v - mean)^2 - sigmas^2 * var``
+    exceeds 1e-6 — the margin threshold (instead of a raw > 0) plus a
+    variance clamped at 0 pins the float boundary so distributed
+    sum-order differences vs the oracle cannot flip a flag.  The flag +
+    event_type partial fold rides inside the join's merge
+    (``merge_post``), so the post-join exchange is O(event_types)."""
+    from .joins import hash_join
 
     ds = _read_sized(sf_dir, "events", columns=["user_id", "value"])
 
@@ -331,48 +348,43 @@ def events_anomaly(sf_dir: str, sigmas: float = 3.0):
             .reset_index()
         return _pd_table(g, _USTAT_PARTIAL)
 
-    # partial blocks stay in the object store — only refs touch the driver
-    stat_refs = ds.map_batches(upartial,
-                               batch_format="pyarrow").to_arrow_refs()
-
-    @ray.remote
-    def _collect(*blocks):
-        import pyarrow as _pa
-        tbl = _pa.concat_tables(
-            [b for b in blocks
-             if isinstance(b, _pa.Table) and b.num_rows > 0])
-        g = tbl.to_pandas().groupby("user_id", sort=True).agg(
+    def stat_group(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("user_id", sort=False,
+                                   as_index=False).agg(
             n=("n", "sum"), s1=("s1", "sum"), s2=("s2", "sum"))
-        n = g["n"].to_numpy(dtype=np.float64)
-        mean = g["s1"].to_numpy() / n
-        var = g["s2"].to_numpy() / n - mean * mean
-        return {"uid": g.index.to_numpy(dtype=np.int64),
-                "mean": mean, "var": var}
+        n = df["n"].to_numpy(dtype=np.float64)
+        mean = df["s1"].to_numpy() / n
+        # clamp: s2/n - mean^2 can go epsilon-negative by cancellation
+        var = np.maximum(df["s2"].to_numpy() / n - mean * mean, 0.0)
+        out = pd.DataFrame({
+            "s_user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "u_mean": mean, "u_var": var})
+        return _pd_table(out, _USTAT_SCHEMA)
 
-    sref = _collect.remote(*stat_refs)
+    stats = _partitioned_agg(
+        ds.map_batches(upartial, batch_format="pyarrow"),
+        "user_id", stat_group, n_parts=32)
 
-    ev = _read_sized(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    ev = _read_sized(sf_dir, "events",
+                     columns=["user_id", "event_type", "value"])
 
-    def flag(batch: pa.Table) -> pa.Table:
-        m = ray.get(sref)
-        uid, mean, var = m["uid"], m["mean"], m["var"]
-        u = np.asarray(batch.column("user_id"), dtype=np.int64)
-        v = np.asarray(batch.column("value"))
-        pos = np.clip(np.searchsorted(uid, u), 0, len(uid) - 1)
-        dev = v - mean[pos]
-        out = dev * dev > (sigmas * sigmas) * var[pos]
-        df = pd.DataFrame({
-            "event_type": batch.column("event_type").to_pylist(),
-            "out": out.astype(np.int64)})
-        g = df.groupby("event_type", sort=False)["out"].agg(
-            part_n="size", part_out="sum").reset_index()
-        return _pd_table(g, pa.schema([
-            ("event_type", pa.string()), ("part_n", pa.int64()),
-            ("part_out", pa.int64())]))
+    def flag_post(df: pd.DataFrame) -> pd.DataFrame:
+        dev = df["value"].to_numpy() - df["u_mean"].to_numpy()
+        score = dev * dev - (sigmas * sigmas) * df["u_var"].to_numpy()
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "out": (score > 1e-6).astype(np.int64)}) \
+            .groupby("event_type", sort=False)["out"] \
+            .agg(part_n="size", part_out="sum").reset_index()
+        return g
+
+    joined = hash_join(ev, stats, "user_id", "s_user_id", n_parts=32,
+                       merge_post=flag_post,
+                       post_schema=_ANOM_PARTIAL)
 
     from ray.data.aggregate import Sum as _Sum
-    agg = ev.map_batches(flag, batch_format="pyarrow") \
-        .groupby("event_type").aggregate(_Sum("part_n"), _Sum("part_out"))
+    agg = joined.groupby("event_type").aggregate(_Sum("part_n"),
+                                                 _Sum("part_out"))
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -446,12 +458,14 @@ def html_block_stats(sf_dir: str, corpus_dir: str | None = None):
     map_batches — the diagnostics view a crawl-quality dashboard would
     compute over 10^12 pages."""
     import ray.data
-    from ..functions.html_main import (_MainContentParser, _classify,
-                                      extract_main_spans)
-    from ..sources.html_corpus import synthesize_html_corpus
+    from ..functions.html_main import (_classify, parse_blocks,
+                                       spans_from_blocks)
+    from ..sources.html_corpus import (cached_html_corpus,
+                                       synthesize_html_corpus)
     if corpus_dir is None:
-        corpus_dir = "/tmp/graft_corpus_cache/html_n32"
-    if not os.path.exists(os.path.join(corpus_dir, "part-00000.parquet")):
+        corpus_dir = cached_html_corpus()
+    elif not os.path.exists(os.path.join(corpus_dir,
+                                         "part-00000.parquet")):
         synthesize_html_corpus(corpus_dir, n_docs=32, n_shards=4)
     ds = ray.data.read_parquet(corpus_dir, columns=["doc_id", "html"])
 
@@ -461,17 +475,16 @@ def html_block_stats(sf_dir: str, corpus_dir: str | None = None):
         rows = {k: [] for k in ("n_blocks", "n_good", "n_bad",
                                 "n_media_kept")}
         for html in htmls:
-            p = _MainContentParser()
-            try:
-                p.feed(html or ""); p.close()
-            except Exception:
-                pass
-            labels = [l for l in _classify(p.blocks) if l != "empty"]
+            # ONE parser pass per document: the label census and the
+            # retained-media count both read the same segmented blocks
+            blocks = parse_blocks(html)
+            all_labels = _classify(blocks)
+            labels = [l for l in all_labels if l != "empty"]
             rows["n_blocks"].append(len(labels))
             rows["n_good"].append(sum(1 for l in labels if l == "good"))
             rows["n_bad"].append(sum(1 for l in labels if l == "bad"))
             rows["n_media_kept"].append(
-                sum(1 for s in extract_main_spans(html)
+                sum(1 for s in spans_from_blocks(blocks, all_labels)
                     if s["kind"] == "media"))
         return pa.table({
             "doc_id": pa.array(ids, pa.string()),
@@ -510,7 +523,7 @@ def corpus_curation(sf_dir: str, min_chars: int = 100,
 
     def screen(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        toks_col = pd.Series(texts, dtype=object).str.findall(r"\S+")
+        toks_col = pd.Series(texts, dtype=object).str.findall(r"[^ \t\n\r\f\v]+")
         nt = np.fromiter((len(t) for t in toks_col), np.int64,
                          len(texts))
         topc = np.fromiter(

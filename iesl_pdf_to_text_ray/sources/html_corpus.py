@@ -112,6 +112,20 @@ def expected_spans(doc_i: int, n_paras: int = 4) -> list[dict]:
     return spans
 
 
+def cached_html_corpus(base: str = "/tmp/graft_corpus_cache",
+                       n_docs: int = 32, n_shards: int = 4) -> str:
+    """Shared synthetic-corpus cache, keyed on a generator fingerprint
+    (md5 of doc 0's rendered HTML): a stale corpus written by an older
+    or differently-parameterized generator regenerates instead of
+    silently changing downstream results (ADVICE r4)."""
+    import hashlib
+    fp = hashlib.md5(render_doc(0).encode("utf-8")).hexdigest()[:8]
+    d = os.path.join(base, f"html_n{n_docs}_{fp}")
+    if not os.path.exists(os.path.join(d, "part-00000.parquet")):
+        synthesize_html_corpus(d, n_docs=n_docs, n_shards=n_shards)
+    return d
+
+
 def synthesize_html_corpus(out_dir: str, n_docs: int = 64,
                            n_shards: int = 8) -> str:
     os.makedirs(out_dir, exist_ok=True)
