@@ -506,8 +506,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": table_ops_r4b.corpus_curation,
         "spans_reassemble": table_ops_r4b.spans_reassemble,
         "media_training_manifest": table_ops_r4b.media_training_manifest,
-        # round-5 pack: skew-hardened joins (hot-key salting)
+        # round-5 pack: skew-hardened joins (hot-key salting), simhash
+        # near-dup pair generation (Hamming-band buckets)
         "skewed_part_revenue": table_ops_r5.skewed_part_revenue,
+        "dedup_simhash_pairs": table_ops_r5.dedup_simhash_pairs,
         # ---- rows-only group (no oracle_sql entry; see rationale comment
         # below queries()) — kept LAST so the driver's 50-query oracle
         # window lands entirely on value-checked queries ----
@@ -1555,5 +1557,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(lk.cents) AS BIGINT) AS revenue_cents
             FROM lk JOIN pk ON lk.skew_key = pk.skew_key
             GROUP BY 1, 2 ORDER BY 1
+        """,
+        "dedup_simhash_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(
+                         text, '[^ \\t\\n\\r\\f\\v]+')) AS tok
+              FROM documents),
+            th AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv
+              FROM toks),
+            bits AS (
+              SELECT doc_id, b AS bit,
+                     sum(CASE WHEN (hv >> b) & 1 = 1
+                         THEN 1 ELSE -1 END) AS v
+              FROM th, (SELECT unnest(generate_series(0, 63)) AS b) bb
+              GROUP BY doc_id, b),
+            sim AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0 AND bit >= 32
+                         THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS hi,
+                     sum(CASE WHEN v > 0 AND bit < 32
+                         THEN (1::BIGINT << bit) ELSE 0 END) AS lo
+              FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   (bit_count(xor(a.hi, b.hi))
+                    + bit_count(xor(a.lo, b.lo)))::BIGINT AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.hi, b.hi))
+                  + bit_count(xor(a.lo, b.lo)) <= 3
         """,
     }

@@ -15,6 +15,17 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import re
+
+# same explicit ASCII whitespace class as functions/textops: Python's
+# Unicode str.split() and the DuckDB oracles' RE2 regex must agree on
+# token boundaries for ANY input, not just the ASCII corpus
+_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
+
+
+def _tokens(text):
+    return _TOKEN_RE.findall(text or "")
+
 N_PERM = 64          # minhash permutations
 BANDS = 16           # 16 bands x 4 rows
 ROWS_PER_BAND = N_PERM // BANDS
@@ -59,7 +70,7 @@ def _shingles(text: str, k: int = SHINGLE_K, cache: dict | None = None
     """k-gram shingle hashes: per-token 64-bit hashes combined with a
     vectorized position-weighted mix (wraparound uint64 arithmetic) —
     no per-shingle digest calls in the hot loop."""
-    toks = text.split()
+    toks = _tokens(text)
     if len(toks) < k:
         toks = toks + [""] * (k - len(toks))
     th = _token_hashes(toks, cache if cache is not None else {})
@@ -221,7 +232,7 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     out = []
     cache: dict = {}
     for t in texts:
-        toks = (t or "").split()
+        toks = _tokens(t)
         if not toks:
             out.append("0" * 16)
             continue
@@ -245,6 +256,91 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
                      "simhash": pa.array(out, pa.string())})
 
 
+SIMHASH_BANDS = 4            # 4 x 16-bit bands
+_SIMHASH_MAX_DIST = 3        # pigeonhole: <=3 flipped bits leave >=1
+                             # of the 4 bands intact -> complete recall
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)],
+                    dtype=np.uint8)
+
+
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit Hamming distance via a per-byte popcount LUT
+    (numpy 1.x has no bitwise_count).  int64 views are fine: XOR is
+    bit-identical regardless of sign interpretation."""
+    x = (a.astype(np.uint64) ^ b.astype(np.uint64))
+    by = np.frombuffer(x.tobytes(), dtype=np.uint8).reshape(-1, 8)
+    return _POPCNT8[by].sum(axis=1).astype(np.int64)
+
+
+def simhash_band_explode(batch: pa.Table) -> pa.Table:
+    """(band, band_val, part, doc_id, sim64) — one row per 16-bit band
+    per doc.  Two fingerprints within Hamming distance ``_SIMHASH_MAX_
+    DIST`` of each other collide in at least one band bucket, so the
+    bucket-local verify below has complete recall (same guarantee
+    structure as MinHash banding, but deterministic)."""
+    n = batch.num_rows
+    id_type = batch.column("doc_id").type
+    if n == 0:
+        return pa.table({"band": pa.array([], pa.int32()),
+                         "band_val": pa.array([], pa.int64()),
+                         "part": pa.array([], pa.int32()),
+                         "doc_id": pa.array([], id_type),
+                         "sim64": pa.array([], pa.int64())})
+    h = np.array([int(x, 16) for x in
+                  batch.column("simhash").to_pylist()], dtype=np.uint64)
+    band_idx = np.tile(np.arange(SIMHASH_BANDS, dtype=np.int64), n)
+    doc_idx = np.repeat(np.arange(n), SIMHASH_BANDS)
+    hh = np.repeat(h, SIMHASH_BANDS)
+    band_val = ((hh >> (band_idx.astype(np.uint64) * np.uint64(16)))
+                & np.uint64(0xFFFF)).astype(np.int64)
+    bucket = band_idx * 65536 + band_val
+    return pa.table({
+        "band": pa.array(band_idx.astype(np.int32), pa.int32()),
+        "band_val": pa.array(band_val, pa.int64()),
+        "part": pa.array((bucket % N_BUCKET_PARTS).astype(np.int32),
+                         pa.int32()),
+        "doc_id": batch.column("doc_id").take(pa.array(doc_idx)),
+        "sim64": pa.array(hh.astype(np.int64), pa.int64())})
+
+
+def simhash_pairs_partition(group: pa.Table,
+                            max_dist: int = _SIMHASH_MAX_DIST,
+                            max_bucket: int = MAX_BUCKET) -> pa.Table:
+    """One coarse partition of simhash band buckets -> verified
+    near-dup pairs (exact 64-bit Hamming <= max_dist).  Same run-lexsort
+    + triu candidate expansion as the MinHash path; the within-run
+    doc_id sort makes doc_a < doc_b canonical."""
+    n = group.num_rows
+    id_type = group.column("doc_id").type
+    empty = pa.table({"doc_a": pa.array([], id_type),
+                      "doc_b": pa.array([], id_type),
+                      "hamming": pa.array([], pa.int64())})
+    if n < 2:
+        return empty
+    bands = np.asarray(group.column("band"), dtype=np.int64)
+    vals = np.asarray(group.column("band_val"), dtype=np.int64)
+    doc_ids = group.column("doc_id").to_pandas().to_numpy()
+    order = np.lexsort((doc_ids, bands, vals))
+    bs, vs = bands[order], vals[order]
+    run_starts = np.flatnonzero(
+        np.concatenate(([True], (bs[1:] != bs[:-1]) | (vs[1:] != vs[:-1]))))
+    run_ends = np.concatenate((run_starts[1:], [n]))
+    a_rows, b_rows = _run_pairs(order, run_starts, run_ends,
+                                max_bucket, "simhash band")
+    if len(a_rows) == 0:
+        return empty
+    a_rows, b_rows = _dedup_pairs(a_rows, b_rows, doc_ids)
+    if len(a_rows) == 0:
+        return empty
+    sim = np.asarray(group.column("sim64"), dtype=np.int64)
+    ham = _hamming64(sim[a_rows], sim[b_rows])
+    good = ham <= max_dist
+    return pa.table({
+        "doc_a": pa.array(doc_ids[a_rows[good]], id_type),
+        "doc_b": pa.array(doc_ids[b_rows[good]], id_type),
+        "hamming": pa.array(ham[good], pa.int64())})
+
+
 def shingles_flat(texts: list, cache: dict, k: int = SHINGLE_K
                   ) -> tuple[np.ndarray, np.ndarray]:
     """All k-gram shingle hashes for a BATCH of texts in one vectorized
@@ -254,7 +350,7 @@ def shingles_flat(texts: list, cache: dict, k: int = SHINGLE_K
     Same mix/finalizer as ``_shingles`` so hashes are comparable across
     callers; 61-bit, collisions negligible at corpus scale."""
     import itertools
-    toks = [t.split() if t else [] for t in texts]
+    toks = [_tokens(t) for t in texts]
     lens = np.fromiter((len(x) for x in toks), dtype=np.int64,
                        count=len(toks))
     flat = list(itertools.chain.from_iterable(toks))
@@ -275,7 +371,7 @@ def shingles_flat(texts: list, cache: dict, k: int = SHINGLE_K
 
 
 def ngram_set(text: str, k: int = SHINGLE_K) -> set:
-    toks = text.split()
+    toks = _tokens(text)
     return {" ".join(toks[i:i + k]) for i in range(max(1, len(toks) - k + 1))}
 
 

@@ -147,3 +147,55 @@ def test_skewed_part_revenue_matches_duckdb(ray_session):
     mine = mine.sort_values("skew_key").reset_index(drop=True)
     gold = gold.sort_values("skew_key").reset_index(drop=True)
     pd.testing.assert_frame_equal(mine, gold, check_dtype=False)
+
+
+# ------------------------------------------------ simhash near-dup pairs
+
+def test_simhash_banding_complete_for_dist3():
+    """Property: for fingerprints within Hamming distance 3, the 4x16-bit
+    band explode ALWAYS produces a shared bucket (pigeonhole), and the
+    partition kernel verifies the exact distance."""
+    from iesl_pdf_to_text_ray.functions.dedup import (
+        simhash_band_explode, simhash_pairs_partition)
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 2**63, 40, dtype=np.int64).astype(np.uint64)
+    rows_id, rows_hex = [], []
+    expected = set()
+    for i, h in enumerate(base):
+        rows_id.append(2 * i)
+        rows_hex.append(f"{int(h):016x}")
+        # twin with d random bit flips (d in 0..3) must always be found
+        d = int(rng.integers(0, 4))
+        flip = np.uint64(0)
+        for bit in rng.choice(64, size=d, replace=False):
+            flip |= np.uint64(1) << np.uint64(int(bit))
+        rows_id.append(2 * i + 1)
+        rows_hex.append(f"{int(h ^ flip):016x}")
+        expected.add((2 * i, 2 * i + 1, d))
+    batch = pa.table({"doc_id": pa.array(rows_id, pa.int64()),
+                      "simhash": pa.array(rows_hex, pa.string())})
+    exploded = simhash_band_explode(batch)
+    # single partition (all buckets together) => recall must be total
+    pairs = simhash_pairs_partition(exploded).to_pandas()
+    got = {(int(a), int(b), int(h))
+           for a, b, h in pairs.itertuples(index=False)}
+    missing = {e for e in expected if e not in got}
+    assert not missing, f"banding missed planted pairs: {missing}"
+
+
+def test_dedup_simhash_pairs_matches_duckdb(ray_session):
+    """End-to-end pair set == the exact Hamming<=3 self-join (DuckDB)."""
+    import duckdb
+    import __ray_entry__ as E
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5 import \
+        dedup_simhash_pairs
+
+    mine = _pd(dedup_simhash_pairs(SF))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    gold = con.execute(E.oracle_sql()["dedup_simhash_pairs"]).fetchdf()
+    key = ["doc_a", "doc_b"]
+    mine = mine.sort_values(key).reset_index(drop=True)
+    gold = gold.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, gold, check_dtype=False)
