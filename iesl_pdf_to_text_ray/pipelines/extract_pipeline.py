@@ -180,28 +180,48 @@ def extract_pdf_dir_ranged(input_dir: str, *, concurrency=None,
     path, which is the point of ranged mode; raise it to parse small
     documents whole (still via ChunkedData, still memory-bounded).
 
-    Listing note: the driver globs the tree here; at real scale feed a
-    manifest table (read_parquet of paths) into the same stages instead.
+    The directory variant is test/CLI convenience: it globs the tree
+    on the driver and delegates to ``extract_pdf_manifest_ranged`` —
+    the scale path, where the listing is itself a Dataset (e.g.
+    ``read_parquet`` of a crawl manifest) and never touches the driver.
     """
-    import functools
-
     import ray.data
+
+    from ..sources.corpus import relative_doc_path
+
+    paths = sorted(glob.glob(os.path.join(input_dir, "**", "*.pdf"),
+                             recursive=True))
+    items = [{"doc_id": os.path.splitext(
+                  relative_doc_path(p, input_dir))[0],
+              "path": p} for p in paths]
+    return extract_pdf_manifest_ranged(
+        ray.data.from_items(items), concurrency=concurrency,
+        batch_size=batch_size, split_threshold=split_threshold,
+        pages_per_shard=pages_per_shard)
+
+
+def extract_pdf_manifest_ranged(manifest, *, concurrency=None,
+                                batch_size: int = 4,
+                                split_threshold: int = 0,
+                                pages_per_shard: int | None = None):
+    """Manifest-driven ranged extraction: ``manifest`` is a
+    ray.data.Dataset with (doc_id: string, path: string) rows — a
+    parquet listing table at real scale, so file enumeration is
+    distributed and resumable like everything else; no driver-side
+    glob anywhere in the hot path.  Page counting, skew splitting,
+    range-read parsing and reassembly are the same stages as the
+    directory variant."""
+    import functools
 
     from ..pdf.chunked_data import ChunkedData
     from ..pdf.extractor import count_pages
-    from ..sources.corpus import relative_doc_path
     from ..stages import extract as ex
 
     if concurrency is None:
         concurrency = (1, 8)
     per_shard = (ex.PAGES_PER_SHARD if pages_per_shard is None
                  else pages_per_shard)
-    paths = sorted(glob.glob(os.path.join(input_dir, "**", "*.pdf"),
-                             recursive=True))
-    items = [{"doc_id": os.path.splitext(
-                  relative_doc_path(p, input_dir))[0],
-              "path": p} for p in paths]
-    ds = ray.data.from_items(items)
+    ds = manifest
 
     def add_pages(batch: pa.Table) -> pa.Table:
         # O(1) fetches per file: header + trailer + root /Count chunks

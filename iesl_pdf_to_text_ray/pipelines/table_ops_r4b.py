@@ -421,20 +421,20 @@ def spans_media_gallery(sf_dir: str):
     ds = ds.map_batches(synthesize_spans_batch, batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
-        out_id, out_ref, out_off = [], [], []
-        for doc_id, spans in zip(ids, spans_col):
-            for s in spans:
-                if s["kind"] == "media":
-                    out_id.append(doc_id)
-                    out_ref.append(s["media_ref"])
-                    out_off.append(s["offset"])
-        return pa.table({
-            "doc_id": pa.array(out_id, pa.string()),
-            "media_ref": pa.array(out_ref, pa.string()),
-            "offset": pa.array(out_off, pa.int32())},
-            schema=_GALLERY_SCHEMA)
+        # Arrow-native explode: list_parent_indices + list_flatten stay
+        # zero-copy in C; no per-row Python over span structs
+        import pyarrow.compute as pc
+        spans = batch.column("spans").combine_chunks()
+        flat = spans.flatten()
+        parent = pc.list_parent_indices(spans)
+        tbl = pa.table({
+            "doc_id": batch.column("doc_id").take(parent),
+            "media_ref": flat.field("media_ref"),
+            "offset": flat.field("offset"),
+            "kind": flat.field("kind")})
+        tbl = tbl.filter(pc.equal(tbl.column("kind"), "media"))
+        return tbl.select(["doc_id", "media_ref", "offset"]) \
+            .cast(_GALLERY_SCHEMA)
 
     return ds.map_batches(explode, batch_format="pyarrow")
 
@@ -596,17 +596,27 @@ def spans_reassemble(sf_dir: str, sep: str = " | "):
     ds = ds.map_batches(normalize_spans_batch, batch_format="pyarrow")
 
     def reassemble(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
-        out_n, out_md5 = [], []
-        for spans in spans_col:
-            texts = [s["text"] for s in spans if s["kind"] == "text"]
-            out_n.append(len(texts))
-            out_md5.append(
-                hashlib.md5(sep.join(texts).encode()).hexdigest())
+        # Arrow-native flatten/filter; only the per-doc join + md5 (both
+        # inherently per-document) run above C level
+        import pyarrow.compute as pc
+        n_docs = batch.num_rows
+        spans = batch.column("spans").combine_chunks()
+        flat = spans.flatten()
+        parent = np.asarray(pc.list_parent_indices(spans))
+        is_text = np.asarray(pc.equal(flat.field("kind"), "text"))
+        parent = parent[is_text]
+        texts = np.asarray(flat.field("text").to_pandas(), dtype=object)
+        texts = texts[is_text]
+        counts = np.bincount(parent, minlength=n_docs)
+        out_md5 = []
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        for i in range(n_docs):   # spans are in doc order, so slices
+            body = sep.join(texts[bounds[i]:bounds[i + 1]])
+            out_md5.append(hashlib.md5(body.encode()).hexdigest())
         return pa.table({
-            "doc_id": pa.array([str(d) for d in ids], pa.string()),
-            "n_text_spans": pa.array(out_n, pa.int32()),
+            "doc_id": batch.column("doc_id").cast(pa.string()),
+            "n_text_spans": pa.array(counts.astype(np.int32),
+                                     pa.int32()),
             "clean_text_md5": pa.array(out_md5, pa.string())},
             schema=_REASSEMBLE_SCHEMA)
 

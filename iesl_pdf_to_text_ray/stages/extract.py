@@ -223,30 +223,39 @@ class ExtractShards:
 
 
 def reassemble_groups(group: pa.Table) -> pa.Table:
-    """groupby(doc_id).map_groups: order shards, rebase offsets, concat."""
-    rows = sorted(group.to_pylist(), key=lambda r: r["shard"])
-    doc_id = rows[0]["doc_id"]
-    spans: list[dict] = []
-    errors = [r["error"] for r in rows if r["error"]]
-    for r in rows:
-        for s in r["spans"]:
-            spans.append({"kind": s["kind"], "text": s["text"],
-                          "media_ref": s["media_ref"],
-                          "offset": len(spans),
-                          "x": s["x"], "y": s["y"], "page": s["page"],
-                          "mat": s["mat"]})
+    """groupby(doc_id).map_groups: order shards, rebase offsets, concat.
+
+    Arrow-native: the shard sort, span concat (list flatten) and offset
+    rebase all run as C kernels — span structs never materialize as
+    Python dicts (they carry per-glyph x arrays, so the to_pylist round
+    trip was the hot cost at scale)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    group = group.sort_by("shard")
+    spans_col = group.column("spans").combine_chunks()
+    flat = spans_col.flatten()   # shard order == document order
+    n = len(flat)
+    kind = flat.field("kind")
+    new_struct = pa.StructArray.from_arrays(
+        [kind, flat.field("text"), flat.field("media_ref"),
+         pa.array(np.arange(n, dtype=np.int32), pa.int32()),
+         flat.field("x"), flat.field("y"), flat.field("page"),
+         flat.field("mat")],
+        fields=list(XSPAN_STRUCT))
+    spans_list = pa.ListArray.from_arrays(
+        pa.array([0, n], pa.int32()), new_struct)
+    n_text = pc.sum(pc.equal(kind, "text")).as_py() or 0
+    n_media = pc.sum(pc.equal(kind, "media")).as_py() or 0
+    errors = [e for e in group.column("error").to_pylist() if e]
     cols = {
-        "doc_id": pa.array([doc_id], pa.string()),
-        "spans": pa.array([spans], pa.list_(XSPAN_STRUCT)),
-        "n_spans": pa.array([len(spans)], pa.int32()),
-        "n_text": pa.array([sum(1 for s in spans if s["kind"] == "text")],
-                           pa.int32()),
-        "n_media": pa.array([sum(1 for s in spans if s["kind"] == "media")],
-                            pa.int32()),
+        "doc_id": group.column("doc_id").slice(0, 1),
+        "spans": spans_list,
+        "n_spans": pa.array([n], pa.int32()),
+        "n_text": pa.array([int(n_text)], pa.int32()),
+        "n_media": pa.array([int(n_media)], pa.int32()),
         "error": pa.array(["; ".join(errors)], pa.string())}
     if "partition_id" in group.column_names:
-        cols["partition_id"] = pa.array([rows[0].get("partition_id")],
-                                        pa.string())
+        cols["partition_id"] = group.column("partition_id").slice(0, 1)
     return pa.table(cols)
 
 

@@ -137,3 +137,42 @@ def test_ranged_pipeline_e2e(ray_session, tmp_path):
                                       concurrency=(1, 2)).take_all()}
     assert set(ranged) == set(whole)
     assert ranged == whole
+
+
+def test_ranged_manifest_pipeline(ray_session, tmp_path):
+    """A parquet manifest table (doc_id, path) fed as a Dataset through
+    the same ranged stages == the directory-glob variant; the listing
+    never has to touch the driver."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from iesl_pdf_to_text_ray.pipelines.extract_pipeline import (
+        extract_pdf_dir_ranged, extract_pdf_manifest_ranged)
+    from iesl_pdf_to_text_ray.stages.extract import spans_digest
+
+    pdf_dir = tmp_path / "pdfs"
+    pdf_dir.mkdir()
+    for name in GOLDEN[:2]:
+        shutil.copy(f"{INPUT}/{name}.pdf", pdf_dir / f"{name}.pdf")
+
+    manifest_path = tmp_path / "manifest.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(GOLDEN[:2], pa.string()),
+        "path": pa.array([str(pdf_dir / f"{n}.pdf")
+                          for n in GOLDEN[:2]], pa.string())}),
+        manifest_path)
+
+    via_manifest = {r["doc_id"]: spans_digest(r["spans"])
+                    for r in extract_pdf_manifest_ranged(
+                        ray.data.read_parquet(str(manifest_path)),
+                        pages_per_shard=3,
+                        concurrency=(1, 2)).take_all()}
+    via_dir = {r["doc_id"]: spans_digest(r["spans"])
+               for r in extract_pdf_dir_ranged(
+                   str(pdf_dir), pages_per_shard=3,
+                   concurrency=(1, 2)).take_all()}
+    assert via_manifest == via_dir
+    assert len(via_manifest) == 2
