@@ -11,10 +11,14 @@ libraries); CCITTFaxDecode G3/G4 decodes via the pure-Python T.4/T.6
 decoder (pdf/ccitt.py, cross-validated against the reference's
 CCITTFaxStream); JBIG2Decode decodes via the pure-Python T.88 decoder
 (pdf/jbig2.py); JPXDecode decodes via the pure-Python T.800 decoder
-(pdf/jpx.py) — both cross-validated byte-exact against the reference
-decoders; DCTDecode passes through as JPEG bytes.  Gray and RGB JPX
-images re-encode as PNG; component counts the PNG writer cannot express
-(e.g. CMYK) keep the raw payload with ``mime=None``.
+(pdf/jpx.py); DCTDecode splits like the reference: natively-supported
+JPEGs (gray/RGB, default decode, unmasked) pass through as JPEG bytes
+(:45194-45201), everything else decodes through the pure-Python
+JpegImage port (pdf/jpg.py) with forceRGB — all four DCT-family
+decoders cross-validated byte-exact against the reference via node.
+Gray and RGB JPX images re-encode as PNG; component counts the PNG
+writer cannot express (e.g. CMYK) keep the raw payload with
+``mime=None``.
 """
 
 from __future__ import annotations
@@ -532,8 +536,51 @@ def materialize_image(source, xref) -> dict:
         return out
     fl = _filters_of(d, fetch)
     if any(f in _PASSTHROUGH_JPEG for f in fl):
-        out["mime"] = "image/jpeg"
-        out["data"] = stm.raw
+        # Reference split (pdf.combined.js:45194-45211): a JPEG whose
+        # colorspace is Device/ICC gray or RGB with the default decode
+        # and no mask is "natively supported" and ships unre-encoded
+        # (JpegStream.isNativelySupported :22438-22446 + the
+        # !softMask && !mask guard at :45194); anything else (CMYK,
+        # Decode arrays, masked images) decodes through JpegImage with
+        # forceRGB (PDFImage.createImageData :42387-42395) — here via
+        # the byte-exact pdf/jpg.py port, then the PNG re-encode every
+        # other decoded raster gets.
+        kind_j, _pal_j, ncomp_j = _colorspace_info(
+            d.get("ColorSpace") or d.get("CS"), fetch)
+        dec_j = _decode_array(d, fetch, ncomp_j)
+        bpc_j = int(fetch(d.get("BitsPerComponent")
+                          or d.get("BPC")) or 8)
+        has_mask = (d.get("SMask") or d.get("SM")
+                    or d.get("Mask"))
+        if (kind_j in ("gray", "rgb")
+                and _is_default_decode(dec_j, bpc_j, ncomp_j, kind_j)
+                and not has_mask):
+            out["mime"] = "image/jpeg"
+            out["data"] = stm.raw
+            return out
+        try:
+            from .jpg import build_decode_transform, decode_jpeg
+            transform = build_decode_transform(dec_j, bpc_j)
+            px, _nc = decode_jpeg(stm.raw, w, h, force_rgb=True,
+                                  decode_transform=transform)
+        except Exception:
+            # undecodable DCT payload: keep raw bytes like the other
+            # codec fallbacks
+            out["mime"] = "image/jpeg"
+            out["data"] = stm.raw
+            return out
+        if len(px) < w * h * 3:
+            out["mime"] = "image/jpeg"
+            out["data"] = stm.raw
+            return out
+        alpha = _smask_alpha(fetch(d.get("SMask") or d.get("SM")),
+                             xref, w, h)
+        out["mime"] = "image/png"
+        if alpha is not None:
+            out["data"] = png_encode(
+                w, h, _compose_rgba(px, 3, alpha, w, h), color_type=6)
+        else:
+            out["data"] = png_encode(w, h, px, color_type=2)
         return out
     try:
         data = decode_stream(stm, xref)
