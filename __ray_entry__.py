@@ -507,9 +507,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_reassemble": table_ops_r4b.spans_reassemble,
         "media_training_manifest": table_ops_r4b.media_training_manifest,
         # round-5 pack: skew-hardened joins (hot-key salting), simhash
-        # near-dup pair generation (Hamming-band buckets)
+        # near-dup pair generation (Hamming-band buckets), training
+        # sequence packing (global prefix scan)
         "skewed_part_revenue": table_ops_r5.skewed_part_revenue,
         "dedup_simhash_pairs": table_ops_r5.dedup_simhash_pairs,
+        "pack_sequences": table_ops_r5.pack_sequences,
         # ---- rows-only group (no oracle_sql entry; see rationale comment
         # below queries()) — kept LAST so the driver's 50-query oracle
         # window lands entirely on value-checked queries ----
@@ -1587,5 +1589,32 @@ def oracle_sql() -> dict[str, str]:
             FROM sim a JOIN sim b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.hi, b.hi))
                   + bit_count(xor(a.lo, b.lo)) <= 3
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(
+                         text, '[^ \\t\\n\\r\\f\\v]+'))::BIGINT AS n
+              FROM documents),
+            s AS (
+              SELECT doc_id, n,
+                     CAST(coalesce(sum(n) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS BIGINT)
+                         AS start
+              FROM t),
+            e AS (
+              SELECT doc_id, n, start,
+                     unnest(generate_series(start // 256,
+                                            (start + n - 1) // 256))
+                         AS seq_id
+              FROM s WHERE n > 0)
+            SELECT seq_id::BIGINT AS seq_id,
+                   count(*)::BIGINT AS n_docs,
+                   CAST(sum(least((seq_id + 1) * 256, start + n)
+                            - greatest(seq_id * 256, start)) AS BIGINT)
+                       AS n_tokens
+            FROM e GROUP BY seq_id ORDER BY seq_id
         """,
     }

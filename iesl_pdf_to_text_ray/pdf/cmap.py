@@ -5,6 +5,17 @@ the Identity-H/V predefined encodings.  Non-identity *predefined* CMaps
 (Adobe-Japan1 etc.) are not bundled — composite fonts using them fall back
 to identity CIDs (not exercised by the regression corpus).
 
+Round-5 decision on predefined CMaps: the Adobe CMap data tables exist
+nowhere in this environment — the reference bundles none either (its
+``PDFJS.cMapUrl`` is null, pdf.combined.js:31817, so the checked-in
+reference cannot resolve them at runtime any more than we can), and
+synthesizing invented mappings would silently corrupt CJK text rather
+than visibly degrade it.  Identity fallback is therefore kept as the
+documented behavior; wiring a real table in means adding it to a
+``PREDEFINED`` registry consulted before the identity fallback in
+fonts.py (the machinery — codespace decode, usecmap-style chaining via
+``parse_cmap`` — is already in place).
+
 Behavioral reference: pdf.js CMap/CMapFactory (/root/reference/src/main/js/
 pdf.combined.js:30737-31547); independent Python design.
 """

@@ -15,6 +15,7 @@ partial combiners before every exchange, money in integer cents
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from .joins import _pd_table, hash_join
@@ -136,3 +137,123 @@ def dedup_simhash_pairs(sf_dir: str):
         return _pd_table(df[["doc_a", "doc_b", "hamming"]], schema)
 
     return _partitioned_agg(ds, "doc_a", pair_group, n_parts=16)
+
+
+# ------------------------------------------------ training-sequence pack
+
+_PACK_PARTIAL_SCHEMA = pa.schema([
+    ("seq_id", pa.int64()), ("part_docs", pa.int64()),
+    ("part_tokens", pa.int64())])
+_PACK_SCHEMA = pa.schema([
+    ("seq_id", pa.int64()), ("n_docs", pa.int64()),
+    ("n_tokens", pa.int64())])
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 256, n_buckets: int = 64):
+    """GPT-style training-sequence packing: concatenate every document's
+    tokens in doc_id order and split the stream into fixed ``seq_len``
+    windows; emit per-sequence (contributing docs, filled tokens).  This
+    is the tokenize-and-pack shape an LLM pretraining loader runs over
+    the whole corpus, and it needs a GLOBAL ordered prefix sum — the
+    one primitive a naive map_batches cannot express.
+
+    Scale shape: a two-level scan.  (1) one streaming pass reduces to
+    per-range-bucket token sums (bucket = contiguous doc_id range, so
+    bucket order == global order); the <= ``n_buckets``-row fold gives
+    each bucket its global base offset.  (2) the docs shuffle once by
+    bucket; inside each bucket a vectorized sort + cumsum + base yields
+    exact global start offsets, and each doc explodes to the sequence
+    ids it covers (pure integer arithmetic, so the SQL oracle states
+    the identical window).  Sequences straddling bucket boundaries are
+    merged by the final partitioned aggregate.  Everything the driver
+    ever holds is one row per bucket."""
+    import ray
+    from .table_ops import _read
+    from ..functions.textops import _TOKEN_RE
+
+    ds = _read_sized(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tokc(batch: pa.Table) -> pa.Table:
+        n = batch.column("text").to_pandas().fillna("") \
+            .str.count(_TOKEN_RE).to_numpy(dtype=np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "n": pa.array(n, pa.int64())})
+
+    tok = ds.map_batches(tokc, batch_format="pyarrow")
+
+    # doc_id domain bound for contiguous range bucketing (tiny aggregate)
+    max_id = int(_read(sf_dir, "documents", columns=["doc_id"])
+                 .max("doc_id"))
+    span = max_id + 1
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        b = (d * n_buckets) // span
+        return batch.append_column("bucket",
+                                   pa.array(b.astype(np.int32),
+                                            pa.int32()))
+
+    tok = tok.map_batches(add_bucket, batch_format="pyarrow")
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "bucket": np.asarray(batch.column("bucket")),
+            "n": np.asarray(batch.column("n"))})
+        g = df.groupby("bucket", as_index=False)["n"].sum()
+        return _pd_table(g, pa.schema([("bucket", pa.int32()),
+                                       ("n", pa.int64())]))
+
+    # <= n_buckets rows per batch partial; the fold is one tiny task
+    sums = tok.map_batches(bucket_partial, batch_format="pyarrow") \
+        .groupby("bucket").sum("n").take_all()
+    totals = np.zeros(n_buckets, dtype=np.int64)
+    for row in sums:
+        totals[int(row["bucket"])] = int(row["sum(n)"])
+    bases = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    bases_ref = ray.put(bases)
+
+    def pack_group(g: pa.Table) -> pa.Table:
+        base_arr = ray.get(bases_ref)
+        df = g.to_pandas().sort_values("doc_id", kind="mergesort")
+        n = df["n"].to_numpy(dtype=np.int64)
+        bucket = int(df["bucket"].iloc[0])
+        start = int(base_arr[bucket]) + np.concatenate(
+            ([0], np.cumsum(n)[:-1]))
+        nz = n > 0
+        start, nnz = start[nz], n[nz]
+        if len(nnz) == 0:
+            return _pd_table(pd.DataFrame(
+                {"seq_id": [], "part_docs": [], "part_tokens": []}),
+                _PACK_PARTIAL_SCHEMA)
+        first = start // seq_len
+        last = (start + nnz - 1) // seq_len
+        counts = (last - first + 1)
+        total = int(counts.sum())
+        # vectorized ragged range explode
+        rep_first = np.repeat(first, counts)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts)
+        seq = rep_first + offs
+        rs = np.repeat(start, counts)
+        rn = np.repeat(nnz, counts)
+        tok_in_seq = np.minimum((seq + 1) * seq_len, rs + rn) \
+            - np.maximum(seq * seq_len, rs)
+        out = pd.DataFrame({"seq_id": seq, "tok": tok_in_seq}) \
+            .groupby("seq_id", as_index=False) \
+            .agg(part_docs=("tok", "size"), part_tokens=("tok", "sum"))
+        out = out.rename(columns={})[["seq_id", "part_docs",
+                                      "part_tokens"]]
+        return _pd_table(out, _PACK_PARTIAL_SCHEMA)
+
+    partials = tok.groupby("bucket", num_partitions=n_buckets) \
+        .map_groups(pack_group, batch_format="pyarrow")
+
+    def final_group(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("seq_id", as_index=False).agg(
+            n_docs=("part_docs", "sum"), n_tokens=("part_tokens", "sum"))
+        return _pd_table(df[["seq_id", "n_docs", "n_tokens"]],
+                         _PACK_SCHEMA)
+
+    return _partitioned_agg(partials, "seq_id", final_group,
+                            n_parts=16).sort("seq_id")

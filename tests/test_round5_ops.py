@@ -199,3 +199,43 @@ def test_dedup_simhash_pairs_matches_duckdb(ray_session):
     mine = mine.sort_values(key).reset_index(drop=True)
     gold = gold.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(mine, gold, check_dtype=False)
+
+
+# ------------------------------------------------ training-sequence pack
+
+def test_pack_sequences_matches_duckdb(ray_session):
+    """Global prefix-scan packing == the SQL window statement, and the
+    packing invariants hold (every sequence full except the last; token
+    mass conserved)."""
+    import duckdb
+    import __ray_entry__ as E
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5 import pack_sequences
+
+    mine = _pd(pack_sequences(SF))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    gold = con.execute(E.oracle_sql()["pack_sequences"]).fetchdf()
+    m = mine.sort_values("seq_id").reset_index(drop=True)
+    g = gold.sort_values("seq_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(m, g, check_dtype=False)
+
+    total = con.execute(
+        "SELECT sum(len(regexp_extract_all(text,"
+        " '[^ \\t\\n\\r\\f\\v]+'))) FROM documents").fetchone()[0]
+    assert int(m["n_tokens"].sum()) == int(total)
+    assert (m["n_tokens"].iloc[:-1] == 256).all()   # only the tail ragged
+    assert (m["seq_id"].to_numpy()
+            == np.arange(len(m))).all()             # contiguous ids
+
+
+def test_pack_sequences_bucket_boundaries(ray_session):
+    """Sequences straddling bucket boundaries merge exactly: run with a
+    pathological bucket count (every doc its own bucket) and compare to
+    the single-bucket run."""
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5 import pack_sequences
+    a = _pd(pack_sequences(SF, n_buckets=1)).sort_values("seq_id") \
+        .reset_index(drop=True)
+    b = _pd(pack_sequences(SF, n_buckets=64)).sort_values("seq_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
