@@ -141,6 +141,27 @@ def dedup_simhash_pairs(sf_dir: str):
 
 # ------------------------------------------------ training-sequence pack
 
+def _doc_id_max_from_stats(sf_dir: str):
+    """Max doc_id from parquet row-group footer statistics (metadata
+    only — no data pages touched); None when stats are absent."""
+    import os
+
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.names.index("doc_id")
+        mx = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mx = st.max if mx is None else max(mx, st.max)
+        return int(mx) if mx is not None else None
+    except Exception:
+        return None
+
+
 _PACK_PARTIAL_SCHEMA = pa.schema([
     ("seq_id", pa.int64()), ("part_docs", pa.int64()),
     ("part_tokens", pa.int64())])
@@ -182,9 +203,14 @@ def pack_sequences(sf_dir: str, seq_len: int = 256, n_buckets: int = 64):
 
     tok = ds.map_batches(tokc, batch_format="pyarrow")
 
-    # doc_id domain bound for contiguous range bucketing (tiny aggregate)
-    max_id = int(_read(sf_dir, "documents", columns=["doc_id"])
-                 .max("doc_id"))
+    # doc_id domain bound for contiguous range bucketing.  Parquet row
+    # group footers carry column min/max statistics, so the bound costs
+    # a metadata read, not a column scan; datasets without stats fall
+    # back to the distributed aggregate.
+    max_id = _doc_id_max_from_stats(sf_dir)
+    if max_id is None:
+        max_id = int(_read(sf_dir, "documents", columns=["doc_id"])
+                     .max("doc_id"))
     span = max_id + 1
 
     def add_bucket(batch: pa.Table) -> pa.Table:
