@@ -76,11 +76,28 @@ def _topk_key_counts(ds, key: str, max_hot: int = 64) -> dict:
         return pa.table({"__k": keys,
                          "__c": pa.array(vc.to_numpy(), pa.int64())})
 
-    from collections import Counter
-    tot: Counter = Counter()
-    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
-        tot[row["__k"]] += row["__c"]
-    return dict(tot)
+    def fold(batch: pa.Table) -> pa.Table:
+        # sum per key, keep the top max_hot — keeps every fold's output
+        # bounded so the driver-side collect is O(max_hot), never
+        # O(blocks).  Top-k-of-sums is not exactly decomposable, but a
+        # key hot enough to need salting dominates every fold it
+        # touches, which is all a skew DETECTOR needs.
+        df = pd.DataFrame({"__k": batch.column("__k").to_pandas(),
+                           "__c": np.asarray(batch.column("__c"))})
+        g = df.groupby("__k", sort=False)["__c"].sum() \
+            .nlargest(max_hot).reset_index()
+        return pa.table({
+            "__k": pa.array(g["__k"].to_numpy(),
+                            type=batch.schema.field("__k").type),
+            "__c": pa.array(g["__c"].to_numpy(), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    # two-level tree: 16 intermediate folds, then one root fold
+    folded = parts.repartition(16) \
+        .map_batches(fold, batch_format="pyarrow", batch_size=None) \
+        .repartition(1) \
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
+    return {row["__k"]: row["__c"] for row in folded.take_all()}
 
 
 def _salted_parts(vals: np.ndarray, side: int, n_parts: int,
