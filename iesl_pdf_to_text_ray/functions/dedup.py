@@ -227,31 +227,35 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, simhash hex) — 64-bit simhash over tokens.
 
     Token hash = first 8 bytes of md5 so the DuckDB oracle can reproduce
-    it bit-for-bit (('0x'||substr(md5(tok),1,16))::UBIGINT)."""
+    it bit-for-bit (('0x'||substr(md5(tok),1,16))::UBIGINT).  Fully
+    batch-vectorized: one flat (token, doc_idx) pass, md5 once per
+    UNIQUE token, per-doc bit votes via a segmented add — no per-doc
+    Python loop."""
+    n_docs = batch.num_rows
     texts = batch.column("text").to_pylist()
-    out = []
-    cache: dict = {}
-    for t in texts:
-        toks = _tokens(t)
-        if not toks:
-            out.append("0" * 16)
-            continue
-        def _h(tok):
-            v = cache.get(tok)
-            if v is None:
-                v = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
-                                   "big")
-                cache[tok] = v
-            return v
-        hs = np.fromiter((_h(tok) for tok in toks),
-                         dtype=np.uint64, count=len(toks))
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int32)
-        v = (bits * 2 - 1).sum(axis=0)
-        sim = 0
-        for bit in np.nonzero(v > 0)[0]:
-            sim |= (1 << int(bit))
-        out.append(f"{sim:016x}")
+    toks_per_doc = [_tokens(t) for t in texts]
+    lens = np.fromiter((len(t) for t in toks_per_doc), np.int64, n_docs)
+    flat = [tok for toks in toks_per_doc for tok in toks]
+    if not flat:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "simhash": pa.array(["0" * 16] * n_docs,
+                                             pa.string())})
+    doc_idx = np.repeat(np.arange(n_docs), lens)
+    uniq, inv = np.unique(np.asarray(flat, dtype=object),
+                          return_inverse=True)
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big")
+         for u in uniq), dtype=np.uint64, count=len(uniq))
+    hs = uh[inv]
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int32) * 2 - 1
+    votes = np.zeros((n_docs, 64), dtype=np.int64)
+    np.add.at(votes, doc_idx, bits)
+    sim = ((votes > 0).astype(np.uint64)
+           << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1,
+                                                           dtype=np.uint64)
+    sim[lens == 0] = np.uint64(0)
+    out = [f"{int(v):016x}" for v in sim]
     return pa.table({"doc_id": batch.column("doc_id"),
                      "simhash": pa.array(out, pa.string())})
 
