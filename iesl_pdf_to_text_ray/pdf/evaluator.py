@@ -101,6 +101,7 @@ class PageInterpreter:
         def emit():
             self.in_path = False
 
+        fonts_res = _UNRESOLVED
         for args, op, op_pos in scanner:
             try:
                 if op == "Tj":
@@ -141,12 +142,16 @@ class PageInterpreter:
                     b.end_text()
                 elif op == "Tf":
                     emit()
-                    fonts = fetch(resources.get("Font"))
+                    if fonts_res is _UNRESOLVED:
+                        # resources are fixed for this content stream;
+                        # resolve the Font dict once, not per Tf op
+                        fonts_res = fetch(resources.get("Font"))
                     fname = args[-2] if len(args) >= 2 else None
                     size = _num(args[-1]) if args else 0.0
                     font_obj = None
-                    if isinstance(fonts, dict) and isinstance(fname, Name):
-                        font_obj = fonts.get(str(fname))
+                    if isinstance(fonts_res, dict) \
+                            and isinstance(fname, Name):
+                        font_obj = fonts_res.get(str(fname))
                     self._set_font(font_obj, size)
                 elif op == "Tc":
                     emit()
@@ -440,6 +445,9 @@ class PageInterpreter:
         else:
             self.builder.paint_inline_image(ref)
         return end
+
+
+_UNRESOLVED = object()
 
 
 def _num(v) -> float:
