@@ -155,6 +155,20 @@ def dim_minmax_partial(batch: pa.Table, column: str = "embedding"
                        pa.list_(pa.float64()))})
 
 
+def dim_minmax_fold(batch: pa.Table) -> pa.Table:
+    """Fold stage for the min/max partials: elementwise min of the lo
+    rows / max of the hi rows -> ONE row.  Run between repartitions, it
+    keeps the driver-side collect O(1) regardless of input block count
+    (same tree-fold shape as the join module's hot-key census)."""
+    lo = np.asarray(batch.column("lo").to_pylist(), dtype=np.float64)
+    hi = np.asarray(batch.column("hi").to_pylist(), dtype=np.float64)
+    return pa.table({
+        "lo": pa.array([lo.min(axis=0).tolist()],
+                       pa.list_(pa.float64())),
+        "hi": pa.array([hi.max(axis=0).tolist()],
+                       pa.list_(pa.float64()))})
+
+
 # ---- IVF ------------------------------------------------------------------
 
 def kmeans_fit(vectors: np.ndarray, n_clusters: int, n_iter: int = 8,

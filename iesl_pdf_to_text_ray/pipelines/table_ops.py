@@ -385,11 +385,17 @@ def ann_quantized(sf_dir: str, n_queries: int = 8, k: int = 10):
     # Per-dimension min/max as a distributed partial aggregate: one partial
     # row per batch inside map_batches, then an O(n_batches) reduce of the
     # tiny partials — no task ever holds more than one batch of vectors.
-    partials = _read_sized(sf_dir, "embeddings", columns=["embedding"]) \
+    reduced = _read_sized(sf_dir, "embeddings", columns=["embedding"]) \
         .map_batches(annf.dim_minmax_partial, batch_format="pyarrow",
-                     batch_size=1024).take_all()
-    lo = np.min([p["lo"] for p in partials], axis=0)
-    hi = np.max([p["hi"] for p in partials], axis=0)
+                     batch_size=1024) \
+        .repartition(16) \
+        .map_batches(annf.dim_minmax_fold, batch_format="pyarrow",
+                     batch_size=None) \
+        .repartition(1) \
+        .map_batches(annf.dim_minmax_fold, batch_format="pyarrow",
+                     batch_size=None).take_all()
+    lo = np.asarray(reduced[0]["lo"])
+    hi = np.asarray(reduced[0]["hi"])
     span = np.where(hi > lo, hi - lo, 1.0)
     q = _load_queries(sf_dir, n_queries)
     qmat = annf.normalize(np.asarray(q["vecs"], dtype=np.float64))
@@ -1515,11 +1521,13 @@ def stratified_sample(sf_dir: str, target_per_lang: int = 50):
         return pa.table({"lang": pa.array(vc.index, pa.string()),
                          "n": pa.array(vc.to_numpy(), pa.int64())})
 
-    counts: dict = {}
-    for part in (_read(sf_dir, "documents", columns=["lang"])
-                 .map_batches(lang_counts, batch_format="pyarrow")
-                 .take_all()):
-        counts[part["lang"]] = counts.get(part["lang"], 0) + part["n"]
+    # groupby folds the per-batch partials distributed-side, so the
+    # driver reads one row per LANGUAGE, never one per block
+    counts: dict = {
+        row["lang"]: int(row["sum(n)"])
+        for row in (_read(sf_dir, "documents", columns=["lang"])
+                    .map_batches(lang_counts, batch_format="pyarrow")
+                    .groupby("lang").sum("n").take_all())}
     rate = {lang: min(10000, math.ceil(10000.0 * target_per_lang / n))
             for lang, n in counts.items()}
 
