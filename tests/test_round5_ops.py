@@ -239,3 +239,33 @@ def test_pack_sequences_bucket_boundaries(ray_session):
     b = _pd(pack_sequences(SF, n_buckets=64)).sort_values("seq_id") \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------ misc round-5 hardening
+
+def test_cached_html_corpus_fingerprints_generator(tmp_path, monkeypatch):
+    """The shared corpus cache is keyed on a generator fingerprint: a
+    changed generator lands in a DIFFERENT directory instead of silently
+    reusing stale parquet (ADVICE r4)."""
+    from iesl_pdf_to_text_ray.sources import html_corpus as hc
+    d1 = hc.cached_html_corpus(str(tmp_path), n_docs=4, n_shards=1)
+    import os
+    assert os.path.exists(os.path.join(d1, "part-00000.parquet"))
+    orig = hc.render_doc
+    monkeypatch.setattr(hc, "render_doc",
+                        lambda i: orig(i) + "<!-- v2 -->")
+    d2 = hc.cached_html_corpus(str(tmp_path), n_docs=4, n_shards=1)
+    assert d1 != d2
+
+
+def test_decode_jpeg_skips_junk_before_soi():
+    """JpegStream parity: bytes before the SOI marker's 0xFF are skipped
+    (reference :22363-22371)."""
+    from iesl_pdf_to_text_ray.pdf.jpg import decode_jpeg
+    from tests.jpeg_encoder import JpegEncoder
+    img = np.full((8, 8, 1), 128, dtype=np.uint8)
+    data = JpegEncoder(img).encode()
+    px_clean, n = decode_jpeg(data, 8, 8, force_rgb=True)
+    px_junk, n2 = decode_jpeg(b"junk bytes here" + data, 8, 8,
+                              force_rgb=True)
+    assert px_clean == px_junk and n == n2 == 3
