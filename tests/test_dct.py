@@ -284,3 +284,44 @@ def test_materialize_native_jpeg_stays_passthrough():
     out = materialize_image(("xobj", stm), FakeXref())
     assert out["mime"] == "image/jpeg"
     assert out["data"] == data
+
+
+def test_materialize_masked_jpeg_composes_rgba():
+    """A DCT image with an /SMask leaves the native passthrough path
+    (reference :45194 requires !softMask) and materializes as RGBA PNG
+    with the smask as its alpha channel."""
+    import zlib
+    from iesl_pdf_to_text_ray.pdf.images import materialize_image
+    from iesl_pdf_to_text_ray.pdf.objects import Stream
+
+    img = _img(8, 8, 3, seed=11)
+    data = JpegEncoder(img).encode()
+    alpha = bytes(range(0, 64 * 4, 4))[:64]
+    smask = Stream({"Width": 8, "Height": 8, "Filter": "FlateDecode",
+                    "ColorSpace": "DeviceGray", "BitsPerComponent": 8},
+                   zlib.compress(alpha))
+    stm = Stream({"Width": 8, "Height": 8, "Filter": "DCTDecode",
+                  "ColorSpace": "DeviceRGB", "BitsPerComponent": 8,
+                  "SMask": smask}, data)
+
+    class FakeXref:
+        def fetch_if_ref(self, o):
+            return o
+    out = materialize_image(("xobj", stm), FakeXref())
+    assert out["mime"] == "image/png"
+    # color type 6 (RGBA) in the IHDR, alpha == the smask samples
+    import struct
+    ihdr = out["data"][16:16 + 13]
+    w, h, depth, ctype = struct.unpack(">IIBB", ihdr[:10])
+    assert (w, h, depth, ctype) == (8, 8, 8, 6)
+    p = 8
+    chunks = []
+    while p < len(out["data"]):
+        ln = struct.unpack(">I", out["data"][p:p + 4])[0]
+        if out["data"][p + 4:p + 8] == b"IDAT":
+            chunks.append(out["data"][p + 8:p + 8 + ln])
+        p += 12 + ln
+    raw = zlib.decompress(b"".join(chunks))
+    rows = b"".join(raw[y * (8 * 4 + 1) + 1:(y + 1) * (8 * 4 + 1)]
+                    for y in range(8))
+    assert bytes(rows[3::4]) == alpha
