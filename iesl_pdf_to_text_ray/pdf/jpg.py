@@ -428,41 +428,75 @@ def _decode_scan(data, offset, frame, components, reset_interval,
     start_offset = offset
     data_len = len(data)
 
-    state = {"bits_data": 0, "bits_count": 0, "offset": offset}
+    # Buffered MSB-first bit reader.  Semantics are the reference
+    # readBit's, bit for bit: 0xFF00 pairs unstuff, a REAL marker
+    # throws only when a bit beyond it is actually needed, and a read
+    # past the end serves zero bits (JS `undefined >>> 7` is 0 — the
+    # reference pads with zeros at EOF rather than throwing).  Each
+    # buffered byte's source offset is recorded so the interval-end
+    # reset can rewind to the reference's unbuffered offset exactly
+    # (stuffed zeros make offset arithmetic non-linear).
+    state = {"offset": offset}
+    rd = {"buf": 0, "cnt": 0, "pos": []}
+
+    def _refill():
+        o = state["offset"]
+        if o >= data_len:
+            b = 0                      # EOF: zero bits, like undefined
+            state["offset"] = o + 1
+        else:
+            b = int(data[o])
+            if b == 0xFF:
+                nxt = int(data[o + 1]) if o + 1 < data_len else 0
+                if nxt:
+                    return False       # marker: not consumed
+                state["offset"] = o + 2
+            else:
+                state["offset"] = o + 1
+        cnt = rd["cnt"]
+        rd["buf"] = ((rd["buf"] & ((1 << cnt) - 1)) << 8) | b
+        rd["cnt"] = cnt + 8
+        pos = rd["pos"]
+        pos.append(o)
+        if len(pos) > 8:
+            del pos[:-4]
+        return True
+
+    def _marker_throw():
+        o = state["offset"]
+        m = ((int(data[o]) << 8) | int(data[o + 1])) \
+            if o + 1 < data_len else 0
+        raise JpegError(f"unexpected marker: {m:x}")
 
     def read_bit():
-        if state["bits_count"] > 0:
-            state["bits_count"] -= 1
-            return (state["bits_data"] >> state["bits_count"]) & 1
-        if state["offset"] >= data_len:
-            raise JpegError("truncated scan")
-        b = int(data[state["offset"]]); state["offset"] += 1
-        if b == 0xFF:
-            nxt = int(data[state["offset"]]); state["offset"] += 1
-            if nxt:
-                raise JpegError(
-                    f"unexpected marker: {(b << 8) | nxt:x}")
-        state["bits_data"] = b
-        state["bits_count"] = 7
-        return b >> 7
+        if rd["cnt"] == 0 and not _refill():
+            _marker_throw()
+        rd["cnt"] -= 1
+        return (rd["buf"] >> rd["cnt"]) & 1
 
     def decode_huffman(table):
-        length, code = 0, 0
-        while True:
-            code = (code << 1) | read_bit()
-            length += 1
-            v = table.get((length, code))
+        while rd["cnt"] < 16:
+            if not _refill():
+                break
+        cnt, buf = rd["cnt"], rd["buf"]
+        get = table.get
+        limit = cnt if cnt < 16 else 16
+        for length in range(1, limit + 1):
+            v = get((length,
+                     (buf >> (cnt - length)) & ((1 << length) - 1)))
             if v is not None:
+                rd["cnt"] = cnt - length
                 return v
-            if length > 16:
-                raise JpegError("invalid huffman sequence")
+        if limit < 16:
+            _marker_throw()   # code needs bits past a marker boundary
+        raise JpegError("invalid huffman sequence")
 
     def receive(length):
-        n = 0
-        while length > 0:
-            n = (n << 1) | read_bit()
-            length -= 1
-        return n
+        while rd["cnt"] < length:
+            if not _refill():
+                _marker_throw()
+        rd["cnt"] -= length
+        return (rd["buf"] >> rd["cnt"]) & ((1 << length) - 1)
 
     def receive_and_extend(length):
         if length == 1:
@@ -620,7 +654,16 @@ def _decode_scan(data, offset, frame, components, reset_interval,
                                 mcu_col * comp.h + k2))
                 mcu += 1
 
-        state["bits_count"] = 0
+        # discard buffered bits; rewind to the first fully-unconsumed
+        # buffered byte so the marker check runs at the reference's
+        # exact offset (a partially-consumed byte stays consumed, its
+        # leftover bits dropped — the reference's bitsCount = 0)
+        full = rd["cnt"] // 8
+        if full:
+            state["offset"] = rd["pos"][-full]
+        rd["buf"] = 0
+        rd["cnt"] = 0
+        rd["pos"].clear()
         o = state["offset"]
         marker = ((int(data[o]) << 8) | int(data[o + 1])) \
             if o + 1 < data_len else 0
