@@ -269,3 +269,32 @@ def test_decode_jpeg_skips_junk_before_soi():
     px_junk, n2 = decode_jpeg(b"junk bytes here" + data, 8, 8,
                               force_rgb=True)
     assert px_clean == px_junk and n == n2 == 3
+
+
+def test_extract_job_entrypoint_resumes(tmp_path):
+    """jobs/extract_job: the ray-job-submit entrypoint runs end to end
+    in a subprocess and a re-submit skips every finished partition."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+    from iesl_pdf_to_text_ray.sources.corpus import synthesize_pdf_corpus
+
+    corpus = tmp_path / "corpus"
+    out = tmp_path / "out"
+    synthesize_pdf_corpus(str(corpus), n_docs=4, n_shards=2)
+    env = {**os.environ, "RAY_ADDRESS": "local"}
+    runs = []
+    for _ in range(2):
+        p = subprocess.run(
+            [_sys.executable, "-m",
+             "iesl_pdf_to_text_ray.jobs.extract_job",
+             "--input", str(corpus), "--output", str(out)],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=240)
+        assert p.returncode == 0, p.stderr[-500:]
+        runs.append(json.loads(p.stdout.strip().splitlines()[-1]))
+    assert runs[0]["partitions_run"] == 2
+    assert runs[0]["n_errors"] == 0
+    assert runs[1]["partitions_skipped"] == 2
+    assert runs[1]["partitions_run"] == 0
