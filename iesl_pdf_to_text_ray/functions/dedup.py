@@ -15,16 +15,24 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-import re
-
-# same explicit ASCII whitespace class as functions/textops: Python's
-# Unicode str.split() and the DuckDB oracles' RE2 regex must agree on
-# token boundaries for ANY input, not just the ASCII corpus
-_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
+# the ONE canonical ASCII whitespace tokenizer — shared with every
+# other operator so the Python side and the DuckDB oracles can never
+# desync on token boundaries (see functions/textops.py)
+from .textops import _TOKEN_RE
 
 
 def _tokens(text):
     return _TOKEN_RE.findall(text or "")
+
+
+def drop_tokenless_batch(batch: pa.Table) -> pa.Table:
+    """Filter out documents with zero tokens (empty/whitespace/null
+    text).  The SQL oracles' toks CTEs yield no rows for such docs, so
+    they have NO fingerprint in the oracle's world — keeping them would
+    assign 0x0 and pair unrelated empty documents as near-duplicates."""
+    t = batch.column("text").to_pandas().fillna("")
+    keep = t.str.contains(_TOKEN_RE, regex=True).to_numpy()
+    return batch.filter(pa.array(keep))
 
 N_PERM = 64          # minhash permutations
 BANDS = 16           # 16 bands x 4 rows

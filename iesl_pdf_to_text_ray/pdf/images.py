@@ -573,8 +573,12 @@ def materialize_image(source, xref) -> dict:
             out["mime"] = "image/jpeg"
             out["data"] = stm.raw
             return out
-        alpha = _smask_alpha(fetch(d.get("SMask") or d.get("SM")),
-                             xref, w, h)
+        # same opacity resolution as every other decoded raster:
+        # /SMask stream, or inverted stencil /Mask stream (color-key
+        # /Mask arrays need pre-conversion samples the forceRGB decode
+        # no longer has — they resolve to opaque, documented gap)
+        alpha = _opacity_alpha(d, fetch, xref, w, h, None, ncomp_j,
+                               bpc_j)
         out["mime"] = "image/png"
         if alpha is not None:
             out["data"] = png_encode(

@@ -219,6 +219,11 @@ def hash_join(left, right, left_on: str, right_on: str, *,
                              "merge_post: salted keys span partitions, "
                              "so per-partition key aggregation would be "
                              "partial")
+        if how not in ("inner", "left", "semi", "anti"):
+            # replicate-the-build is only correct when unmatched RIGHT
+            # rows never emit: an outer/right join would emit a hot
+            # key's unmatched right replicas once per salt
+            raise ValueError(f"salt_budget does not support how={how!r}")
         counts = _topk_key_counts(left, left_on)
         off = n_parts
         for key, cnt in sorted(counts.items(),

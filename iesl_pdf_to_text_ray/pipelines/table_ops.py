@@ -282,7 +282,11 @@ def dedup_minhash(sf_dir: str):
 
 
 def dedup_simhash(sf_dir: str):
+    """Per-document 64-bit simhash fingerprints.  Token-less documents
+    are dropped, matching the oracle (its toks CTE emits no rows for
+    them, so they have no fingerprint)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(dd.drop_tokenless_batch, batch_format="pyarrow")
     return ds.map_batches(dd.simhash_batch, batch_format="pyarrow")
 
 

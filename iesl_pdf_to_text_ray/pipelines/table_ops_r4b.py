@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.textops import _TOKEN_RE
 from .joins import _pd_table
 from .table_ops import (_cents, _md5_bucket32, _partitioned_agg, _read,
                         _read_sized)
@@ -49,7 +50,7 @@ def doc_chunks(sf_dir: str, chunk_tokens: int = 64):
         ids = batch.column("doc_id").to_pylist()
         # vectorized tokenization: one pandas findall over the batch
         toks_col = pd.Series(batch.column("text").to_pylist(),
-                             dtype=object).str.findall(r"[^ \t\n\r\f\v]+")
+                             dtype=object).str.findall(_TOKEN_RE)
         out_id, out_idx, out_n, out_md5 = [], [], [], []
         for doc_id, toks in zip(ids, toks_col):
             for c in range(0, (len(toks) + chunk_tokens - 1)
@@ -91,7 +92,7 @@ def token_diversity(sf_dir: str):
     def stats(batch: pa.Table) -> pa.Table:
         ids = [str(d) for d in batch.column("doc_id").to_pylist()]
         toks_col = pd.Series(batch.column("text").to_pylist(),
-                             dtype=object).str.findall(r"[^ \t\n\r\f\v]+")
+                             dtype=object).str.findall(_TOKEN_RE)
         n_tok, n_dis, top = [], [], []
         for toks in toks_col:
             n = len(toks)
@@ -523,7 +524,7 @@ def corpus_curation(sf_dir: str, min_chars: int = 100,
 
     def screen(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        toks_col = pd.Series(texts, dtype=object).str.findall(r"[^ \t\n\r\f\v]+")
+        toks_col = pd.Series(texts, dtype=object).str.findall(_TOKEN_RE)
         nt = np.fromiter((len(t) for t in toks_col), np.int64,
                          len(texts))
         topc = np.fromiter(

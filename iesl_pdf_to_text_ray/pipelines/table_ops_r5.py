@@ -115,11 +115,22 @@ def dedup_simhash_pairs(sf_dir: str):
     verified against the full 64-bit fingerprint (exact Hamming <= 3) ->
     partitioned pair dedup.  Banding is COMPLETE for distance <= 3
     (pigeonhole over 4 bands), so the result is exactly the Hamming
-    self-join the SQL oracle states — never an all-pairs product."""
+    self-join the SQL oracle states — never an all-pairs product.
+    Token-less documents are dropped up front (the oracle's toks CTE
+    has no rows for them, so they carry no fingerprint — two empty
+    docs are NOT near-duplicates).
+
+    Bounded-recall caveat (shared with the minhash path): a band
+    bucket past MAX_BUCKET rows (>1024 documents sharing a 16-bit
+    band value — in practice mass-duplicated template text) degrades
+    to chain pairs, which preserves CONNECTIVITY for component-style
+    dedup but not the full pair list; exact duplicates at that volume
+    belong to dedup_exact, and the degradation is logged."""
     from ..functions import dedup as dd
     from .table_ops import _read_sized as _rs
 
     ds = _rs(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(dd.drop_tokenless_batch, batch_format="pyarrow")
     ds = ds.map_batches(dd.simhash_batch, batch_format="pyarrow")
     ds = ds.map_batches(dd.simhash_band_explode, batch_format="pyarrow")
     ds = ds.groupby("part").map_groups(dd.simhash_pairs_partition,
@@ -220,7 +231,12 @@ def pack_sequences(sf_dir: str, seq_len: int = 256, n_buckets: int = 64):
                                    pa.array(b.astype(np.int32),
                                             pa.int32()))
 
-    tok = tok.map_batches(add_bucket, batch_format="pyarrow")
+    # materialize the (doc_id, n, bucket) table (24 bytes/doc, object
+    # store resident/spillable): both the bucket-sum pass and the pack
+    # shuffle consume it, and without pinning, Ray's lazy re-execution
+    # would re-read and re-tokenize the full corpus for the second pass
+    tok = tok.map_batches(add_bucket, batch_format="pyarrow") \
+        .materialize()
 
     def bucket_partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({

@@ -298,3 +298,49 @@ def test_extract_job_entrypoint_resumes(tmp_path):
     assert runs[0]["n_errors"] == 0
     assert runs[1]["partitions_skipped"] == 2
     assert runs[1]["partitions_run"] == 0
+
+
+# ------------------------------------------- code-review regressions
+
+def test_simhash_pairs_exclude_tokenless_docs(ray_session, tmp_path):
+    """Review finding: two empty/whitespace docs must NOT pair (the SQL
+    oracle's toks CTE yields no rows for them), and the per-doc
+    fingerprint query must omit them entirely."""
+    import pyarrow.parquet as pq
+    import __ray_entry__ as E
+    import duckdb
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5 import \
+        dedup_simhash_pairs
+    from iesl_pdf_to_text_ray.pipelines.table_ops import dedup_simhash
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["", "   ", "alpha beta gamma",
+                          "alpha beta gamma", None], pa.string())}),
+        d / "documents.parquet")
+    pairs = _pd(dedup_simhash_pairs(str(d)))
+    sims = _pd(dedup_simhash(str(d)))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    gold_pairs = con.execute(
+        E.oracle_sql()["dedup_simhash_pairs"]).fetchdf()
+    gold_sims = con.execute(E.oracle_sql()["dedup_simhash"]).fetchdf()
+    assert len(sims) == len(gold_sims) == 2      # only the token-bearing
+    assert len(pairs) == len(gold_pairs) == 1    # the real duplicate pair
+    assert set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy())) \
+        == {(2, 3)}
+
+
+def test_salt_budget_rejects_unsupported_how(ray_session):
+    """Review finding: replicate-the-build salting is wrong for joins
+    where unmatched right rows emit."""
+    import ray.data
+    from iesl_pdf_to_text_ray.pipelines.joins import hash_join
+    left, right = _zipf_frames(n_left=100, n_keys=10)
+    with pytest.raises(ValueError, match="salt_budget does not support"):
+        hash_join(ray.data.from_pandas(left),
+                  ray.data.from_pandas(right), "k", "rk",
+                  how="outer", salt_budget=10)
