@@ -325,3 +325,25 @@ def test_materialize_masked_jpeg_composes_rgba():
     rows = b"".join(raw[y * (8 * 4 + 1) + 1:(y + 1) * (8 * 4 + 1)]
                     for y in range(8))
     assert bytes(rows[3::4]) == alpha
+
+
+def test_int32_wrap_parity_extreme_coefficients(ref_jpeg):
+    """The IDCT's JS ToInt32 wrap emulation: a 16-bit quant table at
+    65535 with near-max coefficients overflows int32 inside the
+    reference's shift chain (dctSqrt2 * dequant > 2^31); our decode
+    must reproduce the wrapped garbage bit-for-bit, not a saner
+    unwrapped value."""
+    img = np.zeros((8, 8, 1), dtype=np.uint8)
+    enc = JpegEncoder(img)
+    enc.quant = [np.full((8, 8), 65535, dtype=np.int64)]
+    # inject extreme coefficients directly (no uint8 image can quantize
+    # to these against a 65535 table)
+    coefs = np.zeros((1, 1, 64), dtype=np.int64)
+    coefs[0, 0, 0] = 1024           # DC
+    coefs[0, 0, 1] = 900            # AC01
+    coefs[0, 0, 8] = -900           # AC10
+    coefs[0, 0, 27] = 500
+    enc.coefs = [coefs]
+    data = enc.encode()
+    _assert_exact(ref_jpeg, data, False)
+    _assert_exact(ref_jpeg, data, True)
