@@ -512,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skewed_part_revenue": table_ops_r5.skewed_part_revenue,
         "dedup_simhash_pairs": table_ops_r5.dedup_simhash_pairs,
         "pack_sequences": table_ops_r5.pack_sequences,
+        "bpe_merge_pairs": table_ops_r5.bpe_merge_pairs,
         # ---- rows-only group (no oracle_sql entry; see rationale comment
         # below queries()) — kept LAST so the driver's 50-query oracle
         # window lands entirely on value-checked queries ----
@@ -1616,5 +1617,19 @@ def oracle_sql() -> dict[str, str]:
                             - greatest(seq_id * 256, start)) AS BIGINT)
                        AS n_tokens
             FROM e GROUP BY seq_id ORDER BY seq_id
+        """,
+        "bpe_merge_pairs": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(
+                  text, '[^ \\t\\n\\r\\f\\v]+')) AS tok
+              FROM documents),
+            pairs AS (
+              SELECT substr(tok,
+                            unnest(generate_series(1, len(tok) - 1)),
+                            2) AS pair
+              FROM toks)
+            SELECT pair, count(*)::BIGINT AS n
+            FROM pairs GROUP BY pair
+            ORDER BY n DESC, pair LIMIT 20
         """,
     }

@@ -299,3 +299,57 @@ def pack_sequences(sf_dir: str, seq_len: int = 256, n_buckets: int = 64):
 
     return _partitioned_agg(partials, "seq_id", final_group,
                             n_parts=16).sort("seq_id")
+
+
+# -------------------------------------------------- BPE merge-pair count
+
+_BPE_PAIR_PARTIAL = pa.schema([
+    ("pair", pa.string()), ("part_n", pa.int64())])
+_BPE_PAIR_SCHEMA = pa.schema([
+    ("pair", pa.string()), ("n", pa.int64())])
+
+
+def bpe_merge_pairs(sf_dir: str, k: int = 20):
+    """First iteration of BPE tokenizer training: corpus-wide counts of
+    adjacent character pairs inside tokens, top-k candidates by
+    (count desc, pair asc).  The canonical tokenizer-training job a
+    training-data engine runs before anything else touches text.
+
+    Scale shape: per-batch counting loops over the batch's UNIQUE
+    tokens weighted by their frequency (vocabulary-bounded, not
+    token-count-bounded), partials carry one row per distinct pair per
+    batch (pair domain is tiny — printable-char bigrams), and the
+    exchange is a small groupby + deterministic top-k."""
+    from ..functions.textops import _TOKEN_RE
+    from .table_ops import _read
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        toks = pd.Series(batch.column("text").to_pylist(),
+                         dtype=object).fillna("") \
+            .str.findall(_TOKEN_RE).explode().dropna()
+        counts: Counter = Counter()
+        if len(toks):
+            for tok, c in toks.value_counts().items():
+                c = int(c)
+                for i in range(len(tok) - 1):
+                    counts[tok[i:i + 2]] += c
+        return pa.table({
+            "pair": pa.array(list(counts.keys()), pa.string()),
+            "part_n": pa.array(list(counts.values()), pa.int64())},
+            schema=_BPE_PAIR_PARTIAL)
+
+    from ray.data.aggregate import Sum
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pair").aggregate(Sum("part_n"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "pair": batch.column("pair"),
+            "n": batch.column("sum(part_n)").cast(pa.int64())},
+            schema=_BPE_PAIR_SCHEMA)
+
+    return agg.map_batches(rename, batch_format="pyarrow") \
+        .sort(["n", "pair"], descending=[True, False]).limit(k)

@@ -344,3 +344,27 @@ def test_salt_budget_rejects_unsupported_how(ray_session):
         hash_join(ray.data.from_pandas(left),
                   ray.data.from_pandas(right), "k", "rk",
                   how="outer", salt_budget=10)
+
+
+# -------------------------------------------------- BPE merge-pair count
+
+def test_bpe_merge_pairs_matches_duckdb(ray_session):
+    """First BPE iteration == the SQL bigram census, including the
+    deterministic (count desc, pair asc) tie-break at the k boundary."""
+    import duckdb
+    import __ray_entry__ as E
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5 import \
+        bpe_merge_pairs
+
+    mine = _pd(bpe_merge_pairs(SF))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    gold = con.execute(E.oracle_sql()["bpe_merge_pairs"]).fetchdf()
+    key = ["n", "pair"]
+    mine = mine.sort_values(key, ascending=[False, True]) \
+        .reset_index(drop=True)
+    gold = gold.sort_values(key, ascending=[False, True]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(mine, gold, check_dtype=False)
+    assert len(mine) == 20
