@@ -218,6 +218,14 @@ def test_decode_transform_exact(ref_jpeg):
     assert transform == [-256, 255] * 4
     _assert_exact(ref_jpeg, data, True, transform=transform)
     _assert_exact(ref_jpeg, data, False, transform=transform)
+    # inverted GRAY (scanned-negative shape), through the gray->RGB
+    # expansion as well
+    gdata = JpegEncoder(_img(12, 9, 1, seed=4)).encode()
+    gtrans = build_decode_transform([1, 0], 8)
+    _assert_exact(ref_jpeg, gdata, True, transform=gtrans)
+    _assert_exact(ref_jpeg, gdata, False, transform=gtrans)
+    # identity Decode arrays must produce NO transform
+    assert build_decode_transform([0, 1, 0, 1, 0, 1], 8) is None
 
 
 def test_scaled_draw_dimensions_exact(ref_jpeg):
