@@ -413,7 +413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from iesl_pdf_to_text_ray.pipelines import (spans_ops, table_ops,
                                                 table_ops_r4,
                                                 table_ops_r4b,
-                                                table_ops_r5)
+                                                table_ops_r5,
+                                                table_ops_r5b)
 
     # Ordering contract: the driver's CORRECTNESS window covers the FIRST
     # 50 entries in this dict.  All oracle-backed queries therefore come
@@ -513,6 +514,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": table_ops_r5.dedup_simhash_pairs,
         "pack_sequences": table_ops_r5.pack_sequences,
         "bpe_merge_pairs": table_ops_r5.bpe_merge_pairs,
+        # round-5b pack: multi-way relational (TPC-H Q7/Q9/Q22 flavors:
+        # chained hash joins with folded reductions, integer-crossmultiply
+        # threshold) and corpus curation (canonical-doc keep-best,
+        # distributed TF-IDF with libm-pinned integer scores)
+        "volume_shipping": table_ops_r5b.volume_shipping,
+        "product_profit": table_ops_r5b.product_profit,
+        "rich_customers_no_orders":
+            table_ops_r5b.rich_customers_no_orders,
+        "dedup_keep_best": table_ops_r5b.dedup_keep_best,
+        "tfidf_lang_topk": table_ops_r5b.tfidf_lang_topk,
         # ---- rows-only group (no oracle_sql entry; see rationale comment
         # below queries()) — kept LAST so the driver's 50-query oracle
         # window lands entirely on value-checked queries ----
@@ -1631,5 +1642,117 @@ def oracle_sql() -> dict[str, str]:
             SELECT pair, count(*)::BIGINT AS n
             FROM pairs GROUP BY pair
             ORDER BY n DESC, pair LIMIT 20
+        """,
+        "volume_shipping": """
+            WITH j AS (
+              SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year,
+                     CAST(floor(abs(l_extendedprice * (1 - l_discount)
+                                    * 100) + 0.5)
+                          * sign(l_extendedprice * (1 - l_discount))
+                          AS BIGINT) AS cents
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              WHERE sn.n_name <> cn.n_name)
+            SELECT supp_nation, cust_nation, l_year::BIGINT AS l_year,
+                   count(*)::BIGINT AS n_items,
+                   sum(cents)::BIGINT AS revenue_cents
+            FROM j GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "product_profit": """
+            -- cost proxy: 10% of p_retailprice per unit (schema has no
+            -- partsupp); multiply chain parenthesized to match numpy
+            WITH j AS (
+              SELECT n_name AS nation, year(l_shipdate) AS l_year,
+                     CAST(floor(abs(l_extendedprice * (1 - l_discount)
+                                    * 100) + 0.5)
+                          * sign(l_extendedprice * (1 - l_discount))
+                          AS BIGINT)
+                     - CAST(floor(abs(l_quantity * p_retailprice * 0.1
+                                      * 100) + 0.5)
+                            * sign(l_quantity * p_retailprice * 0.1)
+                            AS BIGINT) AS profit
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey)
+            SELECT nation, l_year::BIGINT AS l_year,
+                   count(*)::BIGINT AS n_items,
+                   sum(profit)::BIGINT AS profit_cents
+            FROM j GROUP BY nation, l_year
+        """,
+        "rich_customers_no_orders": """
+            -- threshold via integer cross-multiply (cents * n > sum) so
+            -- no float division can flip the boundary between engines
+            WITH c AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(floor(abs(c_acctbal * 100) + 0.5)
+                          * sign(c_acctbal) AS BIGINT) AS cc
+              FROM customer),
+            pos AS (
+              SELECT count(*) AS n, sum(cc) AS s FROM c WHERE cc > 0),
+            rich AS (
+              SELECT c.* FROM c, pos
+              WHERE c.cc * pos.n > pos.s
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderdate >=
+                                      TIMESTAMP '2000-01-01'))
+            SELECT n_name AS nation, count(*)::BIGINT AS n_customers,
+                   sum(cc)::BIGINT AS total_cents
+            FROM rich JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "dedup_keep_best": """
+            -- ASCII whitespace class + lower(): the documented
+            -- ASCII-corpus assumption shared with the token oracles
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     md5(trim(regexp_replace(lower(text),
+                         '[ \\t\\n\\r\\f\\v]+', ' ', 'g'))) AS norm_hash
+              FROM documents),
+            r AS (
+              SELECT norm_hash, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY norm_hash
+                         ORDER BY n_chars DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY norm_hash) AS n_dups,
+                     max(n_chars) OVER (PARTITION BY norm_hash)
+                         AS max_chars
+              FROM h)
+            SELECT norm_hash, doc_id AS keep_doc_id,
+                   n_dups::BIGINT AS n_dups, max_chars::BIGINT AS max_chars
+            FROM r WHERE rn = 1
+        """,
+        "tfidf_lang_topk": """
+            -- score pinned to an integer: floor(cnt*ln(N/df)*1e6 + 0.5);
+            -- ln on both engines resolves to libm log (see
+            -- table_ops_r5b.tfidf_lang_topk)
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(regexp_extract_all(
+                         text, '[^ \\t\\n\\r\\f\\v]+')) AS term
+              FROM documents),
+            tc AS (
+              SELECT lang, term, count(*) AS cnt
+              FROM toks GROUP BY lang, term),
+            df AS (
+              SELECT term, count(DISTINCT doc_id) AS df
+              FROM toks GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tc.lang, tc.term, tc.cnt,
+                     CAST(floor(tc.cnt * ln(CAST(n.n AS DOUBLE) / df.df)
+                                * 1000000 + 0.5) AS BIGINT) AS score_micro
+              FROM tc JOIN df ON tc.term = df.term, n),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY lang
+                  ORDER BY score_micro DESC, term) AS rn
+              FROM scored)
+            SELECT lang, term, cnt::BIGINT AS cnt, score_micro
+            FROM ranked WHERE rn <= 10
         """,
     }
