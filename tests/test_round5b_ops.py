@@ -61,6 +61,16 @@ def test_volume_shipping_matches_oracle(ray_session):
     _assert_matches_oracle("volume_shipping", got)
 
 
+def test_volume_shipping_hash_join_path(ray_session):
+    """Force the scale path (customer rides the second hash join, not
+    the broadcast lookup) — both size-gate branches must agree with the
+    oracle."""
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5b import \
+        volume_shipping
+    got = _pd(volume_shipping(SF, broadcast_customer_max_bytes=0))
+    _assert_matches_oracle("volume_shipping", got)
+
+
 def test_product_profit_matches_oracle(ray_session):
     from iesl_pdf_to_text_ray.pipelines.table_ops_r5b import \
         product_profit
