@@ -414,7 +414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                 table_ops_r4,
                                                 table_ops_r4b,
                                                 table_ops_r5,
-                                                table_ops_r5b)
+                                                table_ops_r5b,
+                                                table_ops_r5c)
 
     # Ordering contract: the driver's CORRECTNESS window covers the FIRST
     # 50 entries in this dict.  All oracle-backed queries therefore come
@@ -524,6 +525,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             table_ops_r5b.rich_customers_no_orders,
         "dedup_keep_best": table_ops_r5b.dedup_keep_best,
         "tfidf_lang_topk": table_ops_r5b.tfidf_lang_topk,
+        # round-5c pack: curation composites — end-to-end fuzzy dedup
+        # (components -> keep-best representative), CCNet-style bigram
+        # LM quality scoring (libm-pinned integer nll), Pile-style
+        # temperature-scaled domain mixture weights (IEEE sqrt +
+        # integer-division shares)
+        "fuzzy_dedup_curation": table_ops_r5c.fuzzy_dedup_curation,
+        "bigram_lm_score": table_ops_r5c.bigram_lm_score,
+        "domain_mixture_weights": table_ops_r5c.domain_mixture_weights,
         # ---- rows-only group (no oracle_sql entry; see rationale comment
         # below queries()) — kept LAST so the driver's 50-query oracle
         # window lands entirely on value-checked queries ----
@@ -1754,5 +1763,110 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT lang, term, cnt::BIGINT AS cnt, score_micro
             FROM ranked WHERE rn <= 10
+        """,
+        "fuzzy_dedup_curation": """
+            -- near-dup components (the neardup_components CTE) reduced
+            -- to one keep-best row per cluster
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s)
+                       - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.4),
+            sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                    UNION ALL
+                    SELECT doc_b, doc_a FROM pairs),
+            reach(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.u, r.comp FROM reach r JOIN sym s ON s.v = r.node),
+            lab AS (
+              SELECT node AS doc_id, min(comp) AS component
+              FROM reach GROUP BY node),
+            m AS (
+              SELECT lab.component, d.doc_id, d.n_chars,
+                     row_number() OVER (PARTITION BY lab.component
+                         ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lab.component)
+                         AS n_members,
+                     max(d.n_chars) OVER (PARTITION BY lab.component)
+                         AS max_chars,
+                     sum(d.n_chars) OVER (PARTITION BY lab.component)
+                         AS total_chars
+              FROM lab JOIN documents d USING (doc_id))
+            SELECT component, doc_id AS keep_doc_id,
+                   n_members::BIGINT AS n_members,
+                   max_chars::BIGINT AS max_chars,
+                   total_chars::BIGINT AS total_chars
+            FROM m WHERE rn = 1
+        """,
+        "bigram_lm_score": """
+            -- add-one smoothed bigram LM trained on the corpus; per-
+            -- bigram nll pinned to an integer via libm ln (see
+            -- table_ops_r5c.bigram_lm_score); avg is integer division
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+') AS t
+              FROM documents),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                         generate_series(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1])) AS bg
+              FROM toks),
+            occ AS (
+              SELECT doc_id, bg, count(*) AS n
+              FROM bg GROUP BY doc_id, bg),
+            c2 AS (SELECT bg, sum(n) AS c2 FROM occ GROUP BY bg),
+            c1 AS (
+              SELECT split_part(bg, ' ', 1) AS w1, sum(c2) AS c1
+              FROM c2 GROUP BY 1),
+            v AS (
+              SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(t) AS tok FROM toks)),
+            score AS (
+              SELECT c2.bg,
+                     CAST(floor(ln((c1.c1 + v.v)::DOUBLE
+                                   / (c2.c2 + 1)::DOUBLE)
+                                * 1000000 + 0.5) AS BIGINT) AS nll
+              FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1, v),
+            per AS (
+              SELECT occ.doc_id,
+                     sum(occ.n)::BIGINT AS n_bigrams,
+                     sum(occ.n * score.nll)::BIGINT AS nll_sum_micro
+              FROM occ JOIN score USING (bg) GROUP BY occ.doc_id)
+            SELECT doc_id, n_bigrams, nll_sum_micro,
+                   nll_sum_micro // n_bigrams AS avg_nll_micro
+            FROM per
+        """,
+        "domain_mixture_weights": """
+            -- alpha = 0.5 temperature weights: IEEE-correctly-rounded
+            -- sqrt then integer ppm division, so no float ambiguity
+            WITH s AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     sum(len(regexp_extract_all(
+                         text, '[^ \\t\\n\\r\\f\\v]+')))::BIGINT
+                         AS n_tokens,
+                     sum(n_chars)::BIGINT AS n_chars
+              FROM documents GROUP BY source),
+            w AS (
+              SELECT *, CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000
+                                   + 0.5) AS BIGINT) AS w_micro
+              FROM s)
+            SELECT source, n_docs, n_tokens, n_chars, w_micro,
+                   CAST(CAST(w_micro AS HUGEINT) * 1000000
+                        // (SELECT sum(CAST(w_micro AS HUGEINT)) FROM w)
+                        AS BIGINT) AS share_ppm
+            FROM w
         """,
     }

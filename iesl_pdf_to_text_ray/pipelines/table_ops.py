@@ -1609,6 +1609,21 @@ def neardup_components(sf_dir: str, n_parts: int = 8, max_iters: int = 12,
     (one scalar to the driver per round).  Edges materialize between
     rounds — inherent to iterative algorithms, size is O(near-dup pairs),
     a vanishing fraction of corpus size for web data."""
+    return _attach_components(
+        sf_dir, component_label_ref(sf_dir, n_parts=n_parts,
+                                    max_iters=max_iters,
+                                    local_edge_limit=local_edge_limit))
+
+
+def component_label_ref(sf_dir: str, n_parts: int = 8,
+                        max_iters: int = 12,
+                        local_edge_limit: int = 2_000_000):
+    """The label side of ``neardup_components`` as a broadcast object
+    ref: (sorted member doc_ids, their component labels) — only
+    near-dup members appear, so the arrays are O(near-dup docs), a
+    vanishing fraction of corpus size.  Lets composites
+    (fuzzy_dedup_curation) attach labels inside their own map pass
+    instead of paying a corpus x corpus hash join."""
     edges = dedup_ngram_jaccard(sf_dir).select_columns(["doc_a", "doc_b"])
 
     def sym(batch: pa.Table) -> pa.Table:
@@ -1661,8 +1676,7 @@ def neardup_components(sf_dir: str, n_parts: int = 8, max_iters: int = 12,
             # nodes[] is sorted ascending
             return nodes, nodes[roots]
 
-        lab_ref = _local_cc.remote(*edges.to_arrow_refs())
-        return _attach_components(sf_dir, lab_ref)
+        return _local_cc.remote(*edges.to_arrow_refs())
 
     prev = None
     import functools
@@ -1709,8 +1723,7 @@ def neardup_components(sf_dir: str, n_parts: int = 8, max_iters: int = 12,
         order = np.argsort(u)
         return u[order], c[order]
 
-    return _attach_components(sf_dir,
-                              _assemble_labels.remote(*lab.to_arrow_refs()))
+    return _assemble_labels.remote(*lab.to_arrow_refs())
 
 
 def _attach_components(sf_dir: str, lab_ref):

@@ -1,0 +1,325 @@
+"""Round-5c query pack: the training-data curation composites a
+web-scale corpus pipeline runs after near-dup detection — end-to-end
+fuzzy dedup (components -> canonical representative), CCNet-style
+bigram language-model quality scoring, and temperature-scaled domain
+mixture weights.
+
+House discipline (same as table_ops/_r4/_r4b/_r5/_r5b): column-pruned
+size-aware reads, partial combiners before every exchange, big x big
+through the partitioned ``hash_join`` with aggregation folded into the
+merge, value rules pinned to integers (libm log, IEEE-exact sqrt,
+integer division) so every query has an ANSI-SQL oracle in
+``__ray_entry__.oracle_sql`` that hash-matches exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.textops import _TOKEN_RE
+from .joins import _pd_table, hash_join
+from .table_ops import (_partitioned_agg, _read_sized,
+                        component_label_ref)
+
+# ------------------------------------------- fuzzy dedup, end to end
+
+_CUR_PARTIAL = pa.schema([
+    ("component", pa.int64()), ("cand_doc_id", pa.int64()),
+    ("cand_chars", pa.int64()), ("part_n", pa.int64()),
+    ("part_chars", pa.int64())])
+_CUR_SCHEMA = pa.schema([
+    ("component", pa.int64()), ("keep_doc_id", pa.int64()),
+    ("n_members", pa.int64()), ("max_chars", pa.int64()),
+    ("total_chars", pa.int64())])
+
+
+def fuzzy_dedup_curation(sf_dir: str):
+    """End-to-end fuzzy dedup (the FineWeb/CCNet-style chain): near-dup
+    pairs (exact n-gram Jaccard >= 0.4) -> connected components ->
+    canonical representative per cluster (longest document, ties to the
+    smallest doc_id) with cluster statistics.  Composes the existing
+    partitioned stages: ``neardup_components`` (prefix-filter
+    set-similarity join + size-gated union-find / Hash-to-Min) labels
+    every doc; this operator joins the labels back to the document
+    metadata and reduces each cluster to one row.
+
+    Scale shape: the component-label arrays cover only near-dup MEMBERS
+    (a vanishing fraction of the corpus), so they broadcast via the
+    object store (``component_label_ref``) and the labels attach inside
+    the metadata read's own map pass — no corpus x corpus join.  Each
+    batch folds to at most one candidate row per component it sees, and
+    those partials ride the coarse-partition aggregate on component, so
+    the only exchange carries O(batches x components) candidate rows
+    and never text."""
+    import ray
+
+    lab_ref = component_label_ref(sf_dir)
+    meta = _read_sized(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def fold(batch: pa.Table) -> pa.Table:
+        keys, comps = ray.get(lab_ref)
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        comp = d.copy()
+        if len(keys):
+            pos = np.searchsorted(keys, d)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == d
+            comp[hit] = comps[pos[hit]]
+        df = pd.DataFrame({
+            "component": comp, "doc_id": d,
+            "n_chars": np.asarray(batch.column("n_chars"),
+                                  dtype=np.int64)})
+        df = df.sort_values(["component", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        g = df.groupby("component", as_index=False).agg(
+            cand_doc_id=("doc_id", "first"),
+            cand_chars=("n_chars", "first"),
+            part_n=("doc_id", "size"),
+            part_chars=("n_chars", "sum"))
+        return _pd_table(g, _CUR_PARTIAL)
+
+    j = meta.map_batches(fold, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(
+            ["component", "cand_chars", "cand_doc_id"],
+            ascending=[True, False, True])
+        g = df.groupby("component", as_index=False).agg(
+            keep_doc_id=("cand_doc_id", "first"),
+            max_chars=("cand_chars", "first"),
+            part_n=("part_n", "sum"),
+            part_chars=("part_chars", "sum"))
+        g = g.rename(columns={"part_n": "n_members",
+                              "part_chars": "total_chars"})
+        return _pd_table(g[["component", "keep_doc_id", "n_members",
+                            "max_chars", "total_chars"]], _CUR_SCHEMA)
+
+    return _partitioned_agg(j, "component", merge, n_parts=16)
+
+
+# --------------------------------------- bigram LM quality scoring
+
+_OCC_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("bg", pa.string()), ("occ_n", pa.int64())])
+_C2_PARTIAL = pa.schema([
+    ("bg", pa.string()), ("part_c2", pa.int64())])
+_C2_SCHEMA = pa.schema([
+    ("bg", pa.string()), ("w1", pa.string()), ("c2", pa.int64())])
+_C1_SCHEMA = pa.schema([
+    ("c1_w1", pa.string()), ("c1", pa.int64())])
+_VOCAB_PARTIAL = pa.schema([("tok", pa.string())])
+_SCORE_SCHEMA = pa.schema([
+    ("score_bg", pa.string()), ("nll_micro", pa.int64())])
+_LM_PARTIAL = pa.schema([
+    ("doc_id", pa.int64()), ("part_bg", pa.int64()),
+    ("part_nll", pa.int64())])
+_LM_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+    ("nll_sum_micro", pa.int64()), ("avg_nll_micro", pa.int64())])
+
+
+def _doc_bigram_occurrences(batch: pa.Table) -> pa.Table:
+    """(doc_id, bigram, occurrence count) — one row per doc means the
+    batch-local count IS the exact per-doc count (lossless partial).
+    Flattened adjacency: all docs' tokens concatenate into one array,
+    adjacent pairs are kept only where both sides share a doc_id, and
+    ONE vectorized groupby counts the whole batch."""
+    ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    toks = pd.Series(batch.column("text").to_pylist(), dtype=object) \
+        .fillna("").str.findall(_TOKEN_RE)
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    flat = [t for ts in toks for t in ts]
+    if len(flat) < 2:
+        return pa.table({"doc_id": [], "bg": [], "occ_n": []},
+                        schema=_OCC_SCHEMA)
+    did = np.repeat(ids, lens)
+    keep = np.flatnonzero(did[:-1] == did[1:])
+    df = pd.DataFrame({
+        "doc_id": did[keep],
+        "bg": [f"{flat[i]} {flat[i + 1]}" for i in keep]})
+    g = df.groupby(["doc_id", "bg"], as_index=False).size() \
+        .rename(columns={"size": "occ_n"})
+    return _pd_table(g[["doc_id", "bg", "occ_n"]], _OCC_SCHEMA)
+
+
+def bigram_lm_score(sf_dir: str):
+    """CCNet-style language-model quality score: train an add-one
+    smoothed bigram model ON the corpus, then score every document by
+    its average per-bigram negative log-likelihood (low = typical text,
+    high = outlier/noise — the quality-filter signal).
+
+    Model, pinned exactly in the SQL oracle: tokens are ``\\S+`` (ASCII
+    class) runs; c2(w1 w2) = corpus occurrences of the bigram; c1(w1) =
+    occurrences of w1 as a bigram-left (= sum of c2 over w2); V =
+    distinct-token vocabulary size; p = (c2+1)/(c1+V).  Per-BIGRAM
+    nll_micro = floor(ln((c1+V)/(c2+1)) * 1e6 + 0.5) is an integer
+    (ln through libm ``math.log`` on unique (c1, c2) pairs — the tfidf
+    discipline), so per-doc sums and the integer-division average are
+    bit-identical across engines.
+
+    Scale shape: one tokenize pass feeds everything — per-doc bigram
+    occurrences (lossless per-batch partials) are counted once and
+    reused for c2 (coarse-partition sum by bigram), c1 (coarse-partition
+    sum of c2 by left token: vocabulary-bounded), and the scoring join;
+    V is a distinct-count over vocabulary-bounded per-batch uniques.
+    The scoring join co-locates doc occurrences with the bigram score
+    table by bigram hash and folds per-doc partial sums into the merge,
+    and the final exchange carries O(docs) rows."""
+    docs = _read_sized(sf_dir, "documents", columns=["doc_id", "text"])
+    occ = docs.map_batches(_doc_bigram_occurrences,
+                           batch_format="pyarrow")
+
+    # c2: corpus-wide bigram counts (partial -> coarse-partition sum)
+    def c2_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("bg", as_index=False) \
+            .agg(part_c2=("occ_n", "sum"))
+        return _pd_table(df, _C2_PARTIAL)
+
+    def c2_group(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("bg", as_index=False) \
+            .agg(c2=("part_c2", "sum"))
+        df["w1"] = df["bg"].str.split(" ", n=1).str[0]
+        return _pd_table(df[["bg", "w1", "c2"]], _C2_SCHEMA)
+
+    c2 = _partitioned_agg(occ.map_batches(c2_partial,
+                                          batch_format="pyarrow"),
+                          "bg", c2_group, n_parts=16)
+
+    # c1: left-token totals, derived from c2 (vocabulary-bounded)
+    def c1_group(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("w1", as_index=False) \
+            .agg(c1=("c2", "sum")).rename(columns={"w1": "c1_w1"})
+        return _pd_table(df[["c1_w1", "c1"]], _C1_SCHEMA)
+
+    c1 = _partitioned_agg(c2.select_columns(["w1", "c2"]), "w1",
+                          c1_group, n_parts=16)
+
+    # V: distinct unigram vocabulary (per-batch unique -> partitioned
+    # distinct -> count; only unique tokens ever leave a batch)
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        toks = pd.Series(batch.column("text").to_pylist(), dtype=object) \
+            .fillna("").str.findall(_TOKEN_RE)
+        uniq = set()
+        for ts in toks:
+            uniq.update(ts)
+        return pa.table({"tok": pa.array(sorted(uniq), pa.string())},
+                        schema=_VOCAB_PARTIAL)
+
+    def vocab_group(g: pa.Table) -> pa.Table:
+        n = int(g.to_pandas()["tok"].nunique())
+        return pa.table({"part_v": pa.array([n], pa.int64())})
+
+    v_size = int(_partitioned_agg(
+        docs.map_batches(vocab_partial, batch_format="pyarrow"),
+        "tok", vocab_group, n_parts=16).sum("part_v"))
+
+    # bigram score table: c2 x c1 co-located by left token
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        c2v = df["c2"].to_numpy(dtype=np.int64)
+        c1v = df["c1"].to_numpy(dtype=np.int64)
+        pairs = np.stack([c1v, c2v], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        lut = np.array(
+            [math.log((int(a) + v_size) / (int(b) + 1))
+             for a, b in uniq], dtype=np.float64)
+        nll = np.floor(lut[inv] * 1e6 + 0.5).astype(np.int64)
+        return pd.DataFrame({"score_bg": df["bg"].to_numpy(),
+                             "nll_micro": nll})
+
+    scores = hash_join(c2, c1, "w1", "c1_w1", n_parts=16,
+                       merge_post=score, post_schema=_SCORE_SCHEMA)
+
+    # per-doc scoring: occurrences x scores by bigram, per-doc partial
+    # sums folded into the merge
+    def fold_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(w=df["occ_n"].to_numpy()
+                       * df["nll_micro"].to_numpy())
+        g = df.groupby("doc_id", as_index=False).agg(
+            part_bg=("occ_n", "sum"), part_nll=("w", "sum"))
+        return g
+
+    per_doc = hash_join(occ, scores, "bg", "score_bg", n_parts=16,
+                        merge_post=fold_doc, post_schema=_LM_PARTIAL)
+
+    def merge_doc(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().groupby("doc_id", as_index=False).agg(
+            n_bigrams=("part_bg", "sum"),
+            nll_sum_micro=("part_nll", "sum"))
+        df["avg_nll_micro"] = (df["nll_sum_micro"].to_numpy()
+                               // df["n_bigrams"].to_numpy())
+        return _pd_table(df[["doc_id", "n_bigrams", "nll_sum_micro",
+                             "avg_nll_micro"]], _LM_SCHEMA)
+
+    return _partitioned_agg(per_doc, "doc_id", merge_doc, n_parts=16)
+
+
+# --------------------------------------- domain mixture weights
+
+_MIX_PARTIAL = pa.schema([
+    ("source", pa.string()), ("part_docs", pa.int64()),
+    ("part_tokens", pa.int64()), ("part_chars", pa.int64())])
+_MIX_SCHEMA = pa.schema([
+    ("source", pa.string()), ("n_docs", pa.int64()),
+    ("n_tokens", pa.int64()), ("n_chars", pa.int64()),
+    ("w_micro", pa.int64()), ("share_ppm", pa.int64())])
+
+
+def domain_mixture_weights(sf_dir: str):
+    """Temperature-scaled domain mixture weights (the Pile-style
+    sampling table): per source, corpus statistics plus an
+    alpha = 0.5 sampling weight w ~ n_tokens^0.5 and its normalized
+    share in parts-per-million.  sqrt is IEEE-754 correctly rounded
+    (identical in numpy and DuckDB), w_micro = floor(sqrt(n_tokens) *
+    1e6 + 0.5) is an integer, and share_ppm = w_micro * 1e6 //
+    sum(w_micro) is integer division — no float can flip a digit
+    between engines.
+
+    Scale shape: one streaming pass emits per-(batch, source) partials
+    (O(sources) rows per batch); the groupby exchange is O(sources);
+    the share normalization runs in one task over the tiny per-source
+    table."""
+    ds = _read_sized(sf_dir, "documents",
+                     columns=["source", "text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch.column("source").to_pylist(),
+            "toks": pd.Series(batch.column("text").to_pylist(),
+                              dtype=object).fillna("")
+                      .str.count(_TOKEN_RE).astype("int64"),
+            "n_chars": np.asarray(batch.column("n_chars"),
+                                  dtype=np.int64)})
+        g = df.groupby("source", as_index=False).agg(
+            part_docs=("toks", "size"), part_tokens=("toks", "sum"),
+            part_chars=("n_chars", "sum"))
+        return _pd_table(g, _MIX_PARTIAL)
+
+    from ray.data.aggregate import Sum
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("part_docs"),
+                                     Sum("part_tokens"),
+                                     Sum("part_chars"))
+
+    def shares(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n_tokens = df["sum(part_tokens)"].astype("int64")
+        # Python ints: the ppm numerator can exceed int64 at full scale
+        w = [math.floor(math.sqrt(int(t)) * 1e6 + 0.5) for t in n_tokens]
+        total = sum(w)
+        return _pd_table(pd.DataFrame({
+            "source": df["source"],
+            "n_docs": df["sum(part_docs)"].astype("int64"),
+            "n_tokens": n_tokens,
+            "n_chars": df["sum(part_chars)"].astype("int64"),
+            "w_micro": pd.Series(w, dtype="int64"),
+            "share_ppm": pd.Series(
+                [wi * 1_000_000 // total for wi in w], dtype="int64"),
+        }), _MIX_SCHEMA)
+
+    # the per-source table is tiny; normalization needs the global sum,
+    # so it runs in exactly one task
+    return agg.repartition(1).map_batches(shares, batch_format="pyarrow")

@@ -1,0 +1,143 @@
+"""Round-5c operator tests: end-to-end fuzzy dedup curation, bigram
+LM quality scoring, and domain mixture weights."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pd(res):
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _oracle(name: str, sf=SF) -> pd.DataFrame:
+    import __ray_entry__ as E
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    return con.execute(E.oracle_sql()[name]).fetchdf()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df
+
+
+def _assert_matches_oracle(name: str, got: pd.DataFrame):
+    pd.testing.assert_frame_equal(_canon(got), _canon(_oracle(name)),
+                                  check_dtype=False)
+
+
+# ------------------------------------------------ fuzzy_dedup_curation
+
+def test_fuzzy_dedup_curation_matches_oracle(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import \
+        fuzzy_dedup_curation
+    got = _pd(fuzzy_dedup_curation(SF))
+    # every document appears in exactly one cluster
+    assert got["n_members"].sum() == 500
+    # the representative really is the longest member of its cluster
+    assert (got["max_chars"] <= got["total_chars"]).all()
+    _assert_matches_oracle("fuzzy_dedup_curation", got)
+
+
+def test_fuzzy_dedup_curation_keep_rule(ray_session):
+    """Independent check of the keep rule on the multi-member clusters:
+    keep_doc_id is the smallest doc_id among members with max n_chars."""
+    import pyarrow.parquet as pq
+    from iesl_pdf_to_text_ray.pipelines.table_ops import \
+        neardup_components
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import \
+        fuzzy_dedup_curation
+    labels = _pd(neardup_components(SF))
+    chars = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "n_chars"]).to_pandas()
+    m = labels.merge(chars, on="doc_id")
+    got = _pd(fuzzy_dedup_curation(SF)).set_index("component")
+    multi = m.groupby("component").filter(lambda g: len(g) > 1)
+    assert len(multi) > 0  # the corpus plants near-dup clusters
+    for comp, g in multi.groupby("component"):
+        best = g.sort_values(["n_chars", "doc_id"],
+                             ascending=[False, True]).iloc[0]
+        row = got.loc[comp]
+        assert row["keep_doc_id"] == best["doc_id"]
+        assert row["max_chars"] == best["n_chars"]
+        assert row["n_members"] == len(g)
+
+
+# ----------------------------------------------------- bigram_lm_score
+
+def test_bigram_lm_score_matches_oracle(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import \
+        bigram_lm_score
+    got = _pd(bigram_lm_score(SF))
+    assert (got["avg_nll_micro"]
+            == got["nll_sum_micro"] // got["n_bigrams"]).all()
+    _assert_matches_oracle("bigram_lm_score", got)
+
+
+def test_bigram_lm_score_one_doc_recompute(ray_session):
+    """Recompute one document's score from scratch (pure Python bigram
+    model over the whole corpus) and compare bit-for-bit."""
+    import pyarrow.parquet as pq
+    from iesl_pdf_to_text_ray.functions.textops import _TOKEN_RE
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import \
+        bigram_lm_score
+    got = _pd(bigram_lm_score(SF)).set_index("doc_id")
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    c2: dict = {}
+    c1: dict = {}
+    vocab = set()
+    docs_bgs = {}
+    for _, row in t.iterrows():
+        ts = _TOKEN_RE.findall(row["text"] or "")
+        vocab.update(ts)
+        bgs = [(a, b) for a, b in zip(ts, ts[1:])]
+        docs_bgs[row["doc_id"]] = bgs
+        for a, b in bgs:
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+            c1[a] = c1.get(a, 0) + 1
+    v = len(vocab)
+    doc_id = next(d for d, bgs in docs_bgs.items() if len(bgs) >= 5)
+    nll_sum = sum(
+        math.floor(math.log((c1[a] + v) / (c2[(a, b)] + 1)) * 1e6 + 0.5)
+        for a, b in docs_bgs[doc_id])
+    row = got.loc[doc_id]
+    assert row["n_bigrams"] == len(docs_bgs[doc_id])
+    assert row["nll_sum_micro"] == nll_sum
+    assert row["avg_nll_micro"] == nll_sum // len(docs_bgs[doc_id])
+
+
+# ---------------------------------------------- domain_mixture_weights
+
+def test_domain_mixture_weights_matches_oracle(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import \
+        domain_mixture_weights
+    got = _pd(domain_mixture_weights(SF))
+    # floor-division shares can undershoot 1e6 by at most n_sources
+    assert 1_000_000 - len(got) <= got["share_ppm"].sum() <= 1_000_000
+    # alpha=0.5 flattens: every share is closer to uniform than the
+    # raw token share is (temperature-sampling's whole point)
+    tok_share = got["n_tokens"] / got["n_tokens"].sum()
+    w_share = got["share_ppm"] / 1e6
+    uniform = 1.0 / len(got)
+    assert (np.abs(w_share - uniform)
+            <= np.abs(tok_share - uniform) + 1e-9).all()
+    _assert_matches_oracle("domain_mixture_weights", got)
