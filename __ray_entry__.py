@@ -533,6 +533,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_dedup_curation": table_ops_r5c.fuzzy_dedup_curation,
         "bigram_lm_score": table_ops_r5c.bigram_lm_score,
         "domain_mixture_weights": table_ops_r5c.domain_mixture_weights,
+        # one exact Lloyd iteration (the SQL-checkable core of
+        # kmeans_cluster, which is rows-only below)
+        "kmeans_one_step": table_ops_r5c.kmeans_one_step,
         # ---- rows-only group (no oracle_sql entry; see rationale comment
         # below queries()) — kept LAST so the driver's 50-query oracle
         # window lands entirely on value-checked queries ----
@@ -554,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": table_ops.distinct_users_hll,
         "pricing_quantiles_sketch": table_ops.pricing_quantiles_sketch,
         "html_block_stats": table_ops_r4b.html_block_stats,
+        "kmeans_cluster": table_ops_r5c.kmeans_cluster,
     }
 
 
@@ -597,6 +601,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 #     expression exists; the label census is pinned in
 #     tests/test_r4b_ops.py against the corpus generator's known page
 #     structure.
+#   kmeans_cluster — full iterative Lloyd's (data-dependent round count,
+#     not SQL-expressible); its single-iteration core IS oracle-checked
+#     (kmeans_one_step), and the full loop is pinned in
+#     tests/test_round5c_ops.py against a from-scratch local reference.
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": """
@@ -1868,5 +1876,34 @@ def oracle_sql() -> dict[str, str]:
                         // (SELECT sum(CAST(w_micro AS HUGEINT)) FROM w)
                         AS BIGINT) AS share_ppm
             FROM w
+        """,
+        "kmeans_one_step": """
+            -- one exact Lloyd iteration: init = first 8 vec_ids,
+            -- squared-L2 argmin with ties to the lowest centroid index,
+            -- all arithmetic in DOUBLE (float32 -> float64 is exact)
+            WITH init AS (
+              SELECT vec_id AS cid, embedding AS c
+              FROM embeddings WHERE vec_id < 8),
+            d AS (
+              SELECT e.vec_id, i.cid,
+                     list_sum(list_transform(
+                         generate_series(1, len(e.embedding)),
+                         j -> (e.embedding[j]::DOUBLE - i.c[j]::DOUBLE)
+                              ^ 2)) AS d2
+              FROM embeddings e CROSS JOIN init i),
+            a AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY d2, cid) AS rn
+                FROM d) WHERE rn = 1),
+            x0 AS (
+              SELECT a.cid AS cluster, e.embedding AS emb,
+                     unnest(generate_series(1, len(e.embedding))) AS d1
+              FROM a JOIN embeddings e USING (vec_id))
+            SELECT cluster, (d1 - 1)::BIGINT AS dim,
+                   avg(emb[d1]::DOUBLE) AS centroid_val,
+                   count(*)::BIGINT AS n_members
+            FROM x0 GROUP BY cluster, d1
         """,
     }

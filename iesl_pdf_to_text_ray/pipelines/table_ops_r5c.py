@@ -323,3 +323,152 @@ def domain_mixture_weights(sf_dir: str):
     # the per-source table is tiny; normalization needs the global sum,
     # so it runs in exactly one task
     return agg.repartition(1).map_batches(shares, batch_format="pyarrow")
+
+
+# --------------------------------------------- distributed k-means
+
+_KM_PARTIAL = pa.schema([
+    ("cluster", pa.int64()), ("dim", pa.int64()),
+    ("part_sum", pa.float64()), ("part_n", pa.int64())])
+_KM_STEP_SCHEMA = pa.schema([
+    ("cluster", pa.int64()), ("dim", pa.int64()),
+    ("centroid_val", pa.float64()), ("n_members", pa.int64())])
+_KM_ASSIGN_SCHEMA = pa.schema([
+    ("vec_id", pa.int64()), ("cluster", pa.int64())])
+
+
+def _init_centers(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic init: the first k vectors by vec_id (row-group
+    pruned read — only those rows leave storage)."""
+    import pyarrow.parquet as pq
+    import os
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", k)])
+    order = np.argsort(np.asarray(t.column("vec_id"), dtype=np.int64))
+    return np.asarray(t.column("embedding").to_pylist(),
+                      dtype=np.float64)[order]
+
+
+def _assign(batch: pa.Table, centers: np.ndarray) -> tuple:
+    """(vec_ids, cluster ids, float64 vectors) for one batch; nearest
+    centroid by squared L2, ties to the lowest centroid index."""
+    ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+    x = np.asarray(batch.column("embedding").to_pylist(),
+                   dtype=np.float64)
+    # same formula as the SQL oracle: sum((x - c)^2), never the
+    # expanded dot form (keeps the doubles on the same values)
+    d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    return ids, np.argmin(d2, axis=1).astype(np.int64), x
+
+
+def _centroid_partials(batch: pa.Table, centers_ref) -> pa.Table:
+    import ray
+    centers = ray.get(centers_ref)
+    _, assign, x = _assign(batch, centers)
+    k, dim = centers.shape
+    sums = np.zeros((k, dim), dtype=np.float64)
+    np.add.at(sums, assign, x)
+    counts = np.bincount(assign, minlength=k).astype(np.int64)
+    live = np.flatnonzero(counts)
+    cl = np.repeat(live, dim)
+    return pa.table({
+        "cluster": pa.array(cl, pa.int64()),
+        "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                len(live)), pa.int64()),
+        "part_sum": pa.array(sums[live].ravel(), pa.float64()),
+        "part_n": pa.array(np.repeat(counts[live], dim), pa.int64())},
+        schema=_KM_PARTIAL)
+
+
+def kmeans_one_step(sf_dir: str, k: int = 8):
+    """One Lloyd iteration, exactly: assign every embedding to its
+    nearest of the k deterministic init centroids (first k vec_ids,
+    squared L2, ties to the lowest centroid index) and emit the updated
+    centroids as (cluster, dim, centroid_val, n_members) — the
+    SQL-checkable core of the iterative ``kmeans_cluster`` below.
+
+    Scale shape: centroids broadcast once via ray.put; each batch folds
+    to k x dim partial-sum rows (O(k*dim) per batch, independent of
+    batch size); the exchange is a k*dim-key groupby — never a
+    per-vector shuffle."""
+    import functools
+
+    import ray
+    centers = _init_centers(sf_dir, k)
+    centers_ref = ray.put(centers)
+
+    ds = _read_sized(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        functools.partial(_centroid_partials, centers_ref=centers_ref),
+        batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+    agg = partials.groupby(["cluster", "dim"]) \
+        .aggregate(Sum("part_sum"), Sum("part_n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("sum(part_sum)"), dtype=np.float64)
+        n = np.asarray(batch.column("sum(part_n)"), dtype=np.int64)
+        return pa.table({
+            "cluster": batch.column("cluster").cast(pa.int64()),
+            "dim": batch.column("dim").cast(pa.int64()),
+            "centroid_val": pa.array(s / n, pa.float64()),
+            "n_members": pa.array(n, pa.int64())},
+            schema=_KM_STEP_SCHEMA)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def kmeans_cluster(sf_dir: str, k: int = 8, max_iters: int = 10,
+                   tol: float = 1e-9):
+    """Full distributed Lloyd's k-means over the embeddings table:
+    iterate (broadcast centroids -> streaming assignment pass folding
+    to k x dim partials -> tiny groupby -> new centroids) until the
+    max centroid movement drops below ``tol`` or ``max_iters``; then
+    one final pass emits (vec_id, cluster).
+
+    The only driver-side collect per round is the k x dim centroid
+    table (O(k*dim) scalars, independent of corpus size) — the same
+    bounded-state shape as ann_ivf's quantizer.  Empty clusters keep
+    their previous centroid.  No SQL oracle (iterative); pinned in
+    tests against a from-scratch local Lloyd reference."""
+    import functools
+
+    import ray
+    centers = _init_centers(sf_dir, k)
+    dim = centers.shape[1]
+
+    for _ in range(max_iters):
+        centers_ref = ray.put(centers)
+        ds = _read_sized(sf_dir, "embeddings",
+                         columns=["vec_id", "embedding"])
+        partials = ds.map_batches(
+            functools.partial(_centroid_partials,
+                              centers_ref=centers_ref),
+            batch_format="pyarrow")
+        from ray.data.aggregate import Sum
+        tbl = partials.groupby(["cluster", "dim"]) \
+            .aggregate(Sum("part_sum"), Sum("part_n")).to_pandas()
+        new = centers.copy()
+        cl = tbl["cluster"].to_numpy(dtype=np.int64)
+        dm = tbl["dim"].to_numpy(dtype=np.int64)
+        new[cl, dm] = (tbl["sum(part_sum)"].to_numpy()
+                       / tbl["sum(part_n)"].to_numpy())
+        moved = float(np.abs(new - centers).max())
+        centers = new
+        if moved < tol:
+            break
+
+    centers_ref = ray.put(centers)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        ids, a, _ = _assign(batch, ray.get(centers_ref))
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cluster": pa.array(a, pa.int64())},
+                        schema=_KM_ASSIGN_SCHEMA)
+
+    ds = _read_sized(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"])
+    return ds.map_batches(assign_batch, batch_format="pyarrow")

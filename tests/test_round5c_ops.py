@@ -127,6 +127,68 @@ def test_bigram_lm_score_one_doc_recompute(ray_session):
 
 # ---------------------------------------------- domain_mixture_weights
 
+def _oracle_emb(name: str, sf=SF) -> pd.DataFrame:
+    import __ray_entry__ as E
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf}/embeddings.parquet')")
+    return con.execute(E.oracle_sql()[name]).fetchdf()
+
+
+def _local_lloyd(sf: str, k=8, max_iters=10, tol=1e-9):
+    """From-scratch single-process Lloyd's with the same init/tie
+    rules — the reference for the distributed implementation."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas() \
+        .sort_values("vec_id")
+    ids = t["vec_id"].to_numpy(dtype=np.int64)
+    x = np.asarray(t["embedding"].tolist(), dtype=np.float64)
+    centers = x[ids < k][np.argsort(ids[ids < k])]
+    for _ in range(max_iters):
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        new = centers.copy()
+        for c in range(k):
+            if (a == c).any():
+                new[c] = x[a == c].mean(axis=0)
+        moved = float(np.abs(new - centers).max())
+        centers = new
+        if moved < tol:
+            break
+    d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    return ids, np.argmin(d2, axis=1)
+
+
+def test_kmeans_one_step_matches_oracle(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import \
+        kmeans_one_step
+    got = _pd(kmeans_one_step(SF))
+    assert got["n_members"].sum() == 500 * 64  # every vec in a cluster
+    canon_g = _canon(got.round({"centroid_val": 6}))
+    canon_o = _canon(_oracle_emb("kmeans_one_step")
+                     .round({"centroid_val": 6}))
+    pd.testing.assert_frame_equal(canon_g, canon_o, check_dtype=False)
+
+
+def test_kmeans_cluster_matches_local_reference(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import \
+        kmeans_cluster
+    got = _pd(kmeans_cluster(SF)).sort_values("vec_id") \
+        .reset_index(drop=True)
+    ids, want = _local_lloyd(SF)
+    assert (got["vec_id"].to_numpy() == ids).all()
+    # distributed partial sums can differ from the local mean by ULPs;
+    # an assignment flips only on a near-exact distance tie
+    agree = (got["cluster"].to_numpy() == want).mean()
+    assert agree >= 0.99, f"only {agree:.3f} agreement"
+    # determinism: a second run reproduces the labels exactly
+    again = _pd(kmeans_cluster(SF)).sort_values("vec_id") \
+        .reset_index(drop=True)
+    assert (again["cluster"].to_numpy()
+            == got["cluster"].to_numpy()).all()
+
+
 def test_domain_mixture_weights_matches_oracle(ray_session):
     from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import \
         domain_mixture_weights
