@@ -558,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_quantiles_sketch": table_ops.pricing_quantiles_sketch,
         "html_block_stats": table_ops_r4b.html_block_stats,
         "kmeans_cluster": table_ops_r5c.kmeans_cluster,
+        "minhash_cluster_dedup": table_ops_r5c.minhash_cluster_dedup,
     }
 
 
@@ -605,6 +606,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 #     not SQL-expressible); its single-iteration core IS oracle-checked
 #     (kmeans_one_step), and the full loop is pinned in
 #     tests/test_round5c_ops.py against a from-scratch local reference.
+#   minhash_cluster_dedup — the fuzzy-dedup chain over MinHash+LSH pairs
+#     (seeded wraparound-uint64 signatures, same reason as
+#     dedup_minhash); the exact-pair variant fuzzy_dedup_curation IS
+#     oracle-checked, and cluster agreement between the two is pinned in
+#     tests/test_round5c_ops.py.
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": """

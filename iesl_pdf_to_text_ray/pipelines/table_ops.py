@@ -1617,14 +1617,21 @@ def neardup_components(sf_dir: str, n_parts: int = 8, max_iters: int = 12,
 
 def component_label_ref(sf_dir: str, n_parts: int = 8,
                         max_iters: int = 12,
-                        local_edge_limit: int = 2_000_000):
+                        local_edge_limit: int = 2_000_000,
+                        edge_fn=None):
     """The label side of ``neardup_components`` as a broadcast object
     ref: (sorted member doc_ids, their component labels) — only
     near-dup members appear, so the arrays are O(near-dup docs), a
     vanishing fraction of corpus size.  Lets composites
     (fuzzy_dedup_curation) attach labels inside their own map pass
-    instead of paying a corpus x corpus hash join."""
-    edges = dedup_ngram_jaccard(sf_dir).select_columns(["doc_a", "doc_b"])
+    instead of paying a corpus x corpus hash join.
+
+    ``edge_fn(sf_dir) -> Dataset[doc_a, doc_b]`` overrides the pair
+    source (default: exact n-gram Jaccard).  minhash_cluster_dedup
+    passes ``dedup_minhash`` here — the approximate pair generator is
+    the 100 TB path, and the component machinery is identical."""
+    edges = (edge_fn or dedup_ngram_jaccard)(sf_dir) \
+        .select_columns(["doc_a", "doc_b"])
 
     def sym(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch.column("doc_a"))

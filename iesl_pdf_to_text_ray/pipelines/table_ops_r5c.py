@@ -55,9 +55,26 @@ def fuzzy_dedup_curation(sf_dir: str):
     those partials ride the coarse-partition aggregate on component, so
     the only exchange carries O(batches x components) candidate rows
     and never text."""
+    return _cluster_keep_best(sf_dir, component_label_ref(sf_dir))
+
+
+def minhash_cluster_dedup(sf_dir: str):
+    """The 100 TB fuzzy-dedup path: identical cluster -> keep-best
+    chain, but the near-dup pairs come from MinHash+LSH banding
+    (``dedup_minhash``) instead of the exact prefix-filter Jaccard
+    join — approximate by construction (banding can miss or admit
+    borderline pairs), so there is no SQL oracle; cluster agreement
+    with the exact chain is pinned in tests.  At scale this is the
+    variant that runs: signature banding costs O(corpus), while even
+    the prefix-filtered exact join grows with shingle-bucket skew."""
+    from .table_ops import dedup_minhash
+    return _cluster_keep_best(
+        sf_dir, component_label_ref(sf_dir, edge_fn=dedup_minhash))
+
+
+def _cluster_keep_best(sf_dir: str, lab_ref):
     import ray
 
-    lab_ref = component_label_ref(sf_dir)
     meta = _read_sized(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     def fold(batch: pa.Table) -> pa.Table:

@@ -81,6 +81,18 @@ def test_fuzzy_dedup_curation_keep_rule(ray_session):
         assert row["n_members"] == len(g)
 
 
+def test_minhash_cluster_dedup_agrees_with_exact(ray_session):
+    """The LSH-pair variant (the 100 TB path) recovers the same
+    clusters as the oracle-checked exact-jaccard chain on the planted
+    near-dup corpus (dups sit far above the 0.4 threshold, and the
+    seeded signatures are deterministic)."""
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import (
+        fuzzy_dedup_curation, minhash_cluster_dedup)
+    a = _canon(_pd(fuzzy_dedup_curation(SF)))
+    b = _canon(_pd(minhash_cluster_dedup(SF)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 # ----------------------------------------------------- bigram_lm_score
 
 def test_bigram_lm_score_matches_oracle(ray_session):
