@@ -559,6 +559,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_block_stats": table_ops_r4b.html_block_stats,
         "kmeans_cluster": table_ops_r5c.kmeans_cluster,
         "minhash_cluster_dedup": table_ops_r5c.minhash_cluster_dedup,
+        "token_heavy_hitters_sketch":
+            table_ops_r5c.token_heavy_hitters_sketch,
     }
 
 
@@ -610,6 +612,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 #     (seeded wraparound-uint64 signatures, same reason as
 #     dedup_minhash); the exact-pair variant fuzzy_dedup_curation IS
 #     oracle-checked, and cluster agreement between the two is pinned in
+#     tests/test_round5c_ops.py.
+#   token_heavy_hitters_sketch — Count-Min sketch (approximate by
+#     design, like distinct_users_hll / pricing_quantiles_sketch; the
+#     seeded counter hashes are not SQL-reproducible); never-undershoot
+#     and top-set agreement vs exact counts are pinned in
 #     tests/test_round5c_ops.py.
 def oracle_sql() -> dict[str, str]:
     return {

@@ -489,3 +489,98 @@ def kmeans_cluster(sf_dir: str, k: int = 8, max_iters: int = 10,
     ds = _read_sized(sf_dir, "embeddings",
                      columns=["vec_id", "embedding"])
     return ds.map_batches(assign_batch, batch_format="pyarrow")
+
+
+# ------------------------------------ count-min heavy-hitters sketch
+
+_CMS_D, _CMS_W = 4, 2048
+_CMS_KEYS = [f"cms-seed-{d:05d}xx" for d in range(_CMS_D)]  # 16 chars
+_CMS_PARTIAL = pa.schema([
+    ("grp", pa.int64()), ("cms", pa.list_(pa.int64())),
+    ("cands", pa.list_(pa.string()))])
+_CMS_SCHEMA = pa.schema([
+    ("token", pa.string()), ("est_count", pa.int64())])
+
+
+def _cms_rows(tokens: np.ndarray) -> np.ndarray:
+    """d x n bucket indices for the token strings (seeded, stable)."""
+    return np.stack([
+        pd.util.hash_array(tokens, hash_key=key) % np.uint64(_CMS_W)
+        for key in _CMS_KEYS]).astype(np.int64)
+
+
+def token_heavy_hitters_sketch(sf_dir: str, k: int = 20,
+                               cand_m: int = 64):
+    """Approximate corpus-wide token heavy hitters via a Count-Min
+    sketch — the third mergeable sketch alongside the HLL distinct
+    count and the equi-depth quantile summary: constant-size state
+    (d=4 x w=2048 int64 counters) replaces the full token-domain
+    shuffle when the vocabulary no longer fits one.  Candidates are
+    the union of per-batch local top-``cand_m`` tokens (the standard
+    CMS companion heap; a global heavy hitter is by definition heavy
+    in some batch).  Estimates are the conservative per-row minimum,
+    so they never undershoot the true count.  No SQL oracle
+    (approximate by construction, like distinct_users_hll); accuracy
+    vs exact counts is pinned in tests/test_round5c_ops.py.
+
+    Scale shape: each batch ships one 64 KB sketch row; rows fold in
+    two levels (16 coarse groups, then one final merge) so no task
+    ever sees O(blocks) rows."""
+    ds = _read_sized(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pd.Series(batch.column("text").to_pylist(), dtype=object) \
+            .fillna("").str.findall(_TOKEN_RE)
+        flat = [t for ts in toks for t in ts]
+        if not flat:
+            return pa.table({"grp": [], "cms": [], "cands": []},
+                            schema=_CMS_PARTIAL)
+        vc = pd.Series(flat).value_counts()
+        uniq = vc.index.to_numpy(dtype=object)
+        counts = vc.to_numpy(dtype=np.int64)
+        cms = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        rows = _cms_rows(uniq)
+        for d in range(_CMS_D):
+            np.add.at(cms[d], rows[d], counts)
+        # deterministic 16-way fan-in group from the sketch content
+        grp = int(cms.sum() % 16)
+        cands = sorted(vc.head(cand_m).index)
+        return pa.table({
+            "grp": pa.array([grp], pa.int64()),
+            "cms": pa.array([cms.ravel().tolist()],
+                            pa.list_(pa.int64())),
+            "cands": pa.array([cands], pa.list_(pa.string()))},
+            schema=_CMS_PARTIAL)
+
+    def merge_grp(group: pa.Table) -> pa.Table:
+        cms = np.zeros(_CMS_D * _CMS_W, dtype=np.int64)
+        cands: set = set()
+        for row in group.to_pylist():
+            cms += np.asarray(row["cms"], dtype=np.int64)
+            cands.update(row["cands"])
+        return pa.table({
+            "grp": pa.array([0], pa.int64()),
+            "cms": pa.array([cms.tolist()], pa.list_(pa.int64())),
+            "cands": pa.array([sorted(cands)], pa.list_(pa.string()))},
+            schema=_CMS_PARTIAL)
+
+    def finish(group: pa.Table) -> pa.Table:
+        cms = np.zeros(_CMS_D * _CMS_W, dtype=np.int64)
+        cands: set = set()
+        for row in group.to_pylist():
+            cms += np.asarray(row["cms"], dtype=np.int64)
+            cands.update(row["cands"])
+        cms = cms.reshape(_CMS_D, _CMS_W)
+        cand_arr = np.array(sorted(cands), dtype=object)
+        rows = _cms_rows(cand_arr)
+        est = cms[np.arange(_CMS_D)[:, None], rows].min(axis=0)
+        order = np.lexsort((cand_arr, -est))[:k]
+        return pa.table({
+            "token": pa.array(cand_arr[order], pa.string()),
+            "est_count": pa.array(est[order], pa.int64())},
+            schema=_CMS_SCHEMA)
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("grp").map_groups(merge_grp, batch_format="pyarrow")
+    return folded.groupby("grp").map_groups(finish,
+                                            batch_format="pyarrow")

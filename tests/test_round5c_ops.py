@@ -137,6 +137,33 @@ def test_bigram_lm_score_one_doc_recompute(ray_session):
     assert row["avg_nll_micro"] == nll_sum // len(docs_bgs[doc_id])
 
 
+# ----------------------------------- token_heavy_hitters_sketch
+
+def test_token_heavy_hitters_sketch(ray_session):
+    import pyarrow.parquet as pq
+    from iesl_pdf_to_text_ray.functions.textops import _TOKEN_RE
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import \
+        token_heavy_hitters_sketch
+    got = _pd(token_heavy_hitters_sketch(SF)).reset_index(drop=True)
+    assert len(got) == 20
+    # exact counts, from scratch
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    flat = []
+    for txt in t.column("text").to_pylist():
+        flat.extend(_TOKEN_RE.findall(txt or ""))
+    exact = pd.Series(flat).value_counts()
+    # CMS never undershoots, and collisions stay small at w=2048
+    for _, row in got.iterrows():
+        true = int(exact.get(row["token"], 0))
+        assert row["est_count"] >= true
+        assert row["est_count"] <= true + max(10, len(flat) // 500)
+    # the clear heavy hitters are recovered exactly in order
+    assert set(got["token"].head(5)) == set(exact.head(5).index)
+    # determinism
+    again = _pd(token_heavy_hitters_sketch(SF)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, again)
+
+
 # ---------------------------------------------- domain_mixture_weights
 
 def _oracle_emb(name: str, sf=SF) -> pd.DataFrame:
