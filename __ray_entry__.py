@@ -35,7 +35,7 @@ def extract_corpus_query(sf_dir: str):
     from iesl_pdf_to_text_ray.pipelines.extract_pipeline import extract_dataset
     import pyarrow as pa
     from iesl_pdf_to_text_ray.stages.extract import spans_digest
-    ds = extract_dataset(_corpus_dir(), concurrency=(1, 4), batch_size=4)
+    ds = extract_dataset(_corpus_dir(), concurrency=(1, 8), batch_size=2)
 
     def summarize(batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
@@ -98,7 +98,7 @@ def extract_corpus_ranged_query(sf_dir: str):
                             os.path.join(pdf_dir,
                                          f"doc-{copy}-{name}.pdf"))
         open(os.path.join(pdf_dir, "_done"), "w").close()
-    ds = extract_pdf_dir_ranged(pdf_dir, concurrency=(1, 4),
+    ds = extract_pdf_dir_ranged(pdf_dir, concurrency=(1, 8),
                                 pages_per_shard=4)
 
     def summarize(batch: pa.Table) -> pa.Table:
@@ -161,7 +161,7 @@ def extract_corpus_split_query(sf_dir: str):
     import pyarrow as pa
     from iesl_pdf_to_text_ray.pipelines.extract_pipeline import extract_dataset
     from iesl_pdf_to_text_ray.stages.extract import spans_digest
-    ds = extract_dataset(_corpus_dir(), concurrency=(1, 4), batch_size=4,
+    ds = extract_dataset(_corpus_dir(), concurrency=(1, 8), batch_size=2,
                          split_pages=True,
                          split_threshold=4)  # force sharding on 4-12pp docs
 
@@ -195,7 +195,7 @@ def extract_corpus_chunked_query(sf_dir: str):
                              chunk_bytes=64 << 10)
         open(os.path.join(chunked_dir, "_done"), "w").close()
     ds = extract_dataset(read_chunked_corpus(chunked_dir),
-                         concurrency=(1, 4), batch_size=4)
+                         concurrency=(1, 8), batch_size=2)
 
     def summarize(batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
@@ -262,7 +262,7 @@ def extract_layout_query(sf_dir: str):
     from iesl_pdf_to_text_ray.functions.layout import (detect_columns,
                                                        strip_headers_footers)
     from iesl_pdf_to_text_ray.pipelines.extract_pipeline import extract_dataset
-    ds = extract_dataset(_corpus_dir(), concurrency=(1, 4), batch_size=4)
+    ds = extract_dataset(_corpus_dir(), concurrency=(1, 8), batch_size=2)
 
     def layout(batch: pa.Table) -> pa.Table:
         ids, n_in, n_body, cols_p0 = [], [], [], []
@@ -293,7 +293,7 @@ def pdf_training_text_query(sf_dir: str):
     from iesl_pdf_to_text_ray.functions.layout import body_text_lines
     from iesl_pdf_to_text_ray.functions.textops import quality_batch
     from iesl_pdf_to_text_ray.pipelines.extract_pipeline import extract_dataset
-    ds = extract_dataset(_corpus_dir(), concurrency=(1, 4), batch_size=4)
+    ds = extract_dataset(_corpus_dir(), concurrency=(1, 8), batch_size=2)
 
     def body_text(batch: pa.Table) -> pa.Table:
         ids, texts = [], []
@@ -336,7 +336,7 @@ def pdf_corpus_curation_query(sf_dir: str):
         extract_dataset
     from iesl_pdf_to_text_ray.pipelines.joins import _pd_table
     from iesl_pdf_to_text_ray.pipelines.table_ops import _partitioned_agg
-    ds = extract_dataset(_corpus_dir(), concurrency=(1, 4), batch_size=4)
+    ds = extract_dataset(_corpus_dir(), concurrency=(1, 8), batch_size=2)
 
     def body_hash(batch: pa.Table) -> pa.Table:
         ids, hashes, n_chars = [], [], []
