@@ -536,6 +536,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one exact Lloyd iteration (the SQL-checkable core of
         # kmeans_cluster, which is rows-only below)
         "kmeans_one_step": table_ops_r5c.kmeans_one_step,
+        # full outer join across asymmetric key domains + a ROLLUP
+        # (one finest pass, three granularities)
+        "users_vs_customers_outer":
+            table_ops_r5c.users_vs_customers_outer,
+        "revenue_rollup": table_ops_r5c.revenue_rollup,
         # ---- rows-only group (no oracle_sql entry; see rationale comment
         # below queries()) — kept LAST so the driver's 50-query oracle
         # window lands entirely on value-checked queries ----
@@ -1918,5 +1923,34 @@ def oracle_sql() -> dict[str, str]:
                    avg(emb[d1]::DOUBLE) AS centroid_val,
                    count(*)::BIGINT AS n_members
             FROM x0 GROUP BY cluster, d1
+        """,
+        "users_vs_customers_outer": """
+            WITH ev AS (
+              SELECT user_id, count(*)::BIGINT AS n_events
+              FROM events GROUP BY user_id),
+            c AS (
+              SELECT c_custkey,
+                     CAST(floor(abs(c_acctbal * 100) + 0.5)
+                          * sign(c_acctbal) AS BIGINT) AS cc
+              FROM customer)
+            SELECT COALESCE(ev.user_id, c.c_custkey) AS key,
+                   COALESCE(ev.n_events, 0)::BIGINT AS n_events,
+                   CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1
+                       END::BIGINT AS is_customer,
+                   COALESCE(c.cc, 0)::BIGINT AS acctbal_cents
+            FROM ev FULL OUTER JOIN c ON ev.user_id = c.c_custkey
+        """,
+        "revenue_rollup": """
+            -- ROLLUP levels with NULL members pinned to 'ALL' / -1
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COALESCE(o_year, -1)::BIGINT AS o_year,
+                   count(*)::BIGINT AS n_orders,
+                   sum(CAST(floor(abs(o_totalprice * 100) + 0.5)
+                            * sign(o_totalprice) AS BIGINT))::BIGINT
+                       AS revenue_cents
+            FROM (SELECT o_orderpriority,
+                         year(o_orderdate) AS o_year, o_totalprice
+                  FROM orders)
+            GROUP BY ROLLUP (o_orderpriority, o_year)
         """,
     }

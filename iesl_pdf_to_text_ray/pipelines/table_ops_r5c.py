@@ -584,3 +584,136 @@ def token_heavy_hitters_sketch(sf_dir: str, k: int = 20,
         .groupby("grp").map_groups(merge_grp, batch_format="pyarrow")
     return folded.groupby("grp").map_groups(finish,
                                             batch_format="pyarrow")
+
+
+# ----------------------------------------------- full outer join
+
+_OUTER_PARTIAL = pa.schema([
+    ("user_id", pa.int64()), ("part_events", pa.int64())])
+_OUTER_SCHEMA = pa.schema([
+    ("key", pa.int64()), ("n_events", pa.int64()),
+    ("is_customer", pa.int64()), ("acctbal_cents", pa.int64())])
+
+
+def users_vs_customers_outer(sf_dir: str, n_parts: int = 16):
+    """Full OUTER join across genuinely asymmetric key domains: event
+    activity per user against the customer roster — activity without an
+    account and accounts without activity both survive (the audit /
+    reconciliation query shape).  COALESCE semantics pinned: key =
+    whichever side is present, counts and balances default to 0, and
+    the money is integer cents.
+
+    Scale shape: events pre-aggregate to per-(batch, user) partials
+    before the exchange (the join never sees raw events); both sides
+    co-locate by key hash in the partitioned join, where outer-ness is
+    per-partition exact because every occurrence of a key lands in one
+    partition."""
+    from .table_ops import _cents
+
+    ev = _read_sized(sf_dir, "events", columns=["user_id"])
+
+    def ev_partial(batch: pa.Table) -> pa.Table:
+        vc = pd.Series(
+            np.asarray(batch.column("user_id"), dtype=np.int64)) \
+            .value_counts()
+        return pa.table({
+            "user_id": pa.array(vc.index.to_numpy(), pa.int64()),
+            "part_events": pa.array(vc.to_numpy(), pa.int64())},
+            schema=_OUTER_PARTIAL)
+
+    ev = ev.map_batches(ev_partial, batch_format="pyarrow")
+
+    cust = _read_sized(sf_dir, "customer",
+                       columns=["c_custkey", "c_acctbal"])
+
+    def cust_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch.column("c_custkey").cast(pa.int64()),
+            "cc": pa.array(_cents(np.asarray(
+                batch.column("c_acctbal"), dtype=np.float64)),
+                pa.int64())})
+
+    cust = cust.map_batches(cust_cents, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # partials for one user can come from several event batches;
+        # outer rows carry NaN on the absent side
+        key = df["user_id"].fillna(df["c_custkey"]).astype(np.int64)
+        df = df.assign(key=key)
+        g = df.groupby("key", as_index=False).agg(
+            n_events=("part_events", "sum"),
+            is_customer=("cc", "count"),
+            acctbal_cents=("cc", "first"))
+        g["n_events"] = g["n_events"].fillna(0).astype(np.int64)
+        # a key appears once per customer; count>0 means the roster side
+        g["is_customer"] = (g["is_customer"] > 0).astype(np.int64)
+        g["acctbal_cents"] = g["acctbal_cents"].fillna(0) \
+            .astype(np.int64)
+        return g
+
+    return hash_join(ev, cust, "user_id", "c_custkey", how="outer",
+                     n_parts=n_parts, merge_post=fold,
+                     post_schema=_OUTER_SCHEMA)
+
+
+# ------------------------------------------------- rollup aggregate
+
+_ROLLUP_PARTIAL = pa.schema([
+    ("o_orderpriority", pa.string()), ("o_year", pa.int64()),
+    ("part_n", pa.int64()), ("part_cents", pa.int64())])
+_ROLLUP_SCHEMA = pa.schema([
+    ("o_orderpriority", pa.string()), ("o_year", pa.int64()),
+    ("n_orders", pa.int64()), ("revenue_cents", pa.int64())])
+
+
+def revenue_rollup(sf_dir: str):
+    """GROUPING SETS / ROLLUP aggregate: order revenue at THREE
+    granularities — (priority, year), (priority), and grand total —
+    from ONE pass.  Coarser levels are derived from the finest
+    aggregate, never from a second scan: the classic rollup-from-finest
+    pattern (the finest result is O(priorities x years) rows, so the
+    derivation runs in one task).  NULL group members are pinned to
+    'ALL' / -1 to keep the driver's hash compare well-defined."""
+    ds = _read_sized(sf_dir, "orders",
+                     columns=["o_orderpriority", "o_orderdate",
+                              "o_totalprice"])
+    from .table_ops import _cents
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_orderpriority": batch.column("o_orderpriority")
+                .to_pylist(),
+            "o_year": batch.column("o_orderdate").to_pandas()
+                .dt.year.to_numpy(dtype=np.int64),
+            "cents": _cents(np.asarray(batch.column("o_totalprice"),
+                                       dtype=np.float64))})
+        g = df.groupby(["o_orderpriority", "o_year"],
+                       as_index=False).agg(part_n=("cents", "size"),
+                                           part_cents=("cents", "sum"))
+        return _pd_table(g, _ROLLUP_PARTIAL)
+
+    from ray.data.aggregate import Sum
+    finest = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["o_orderpriority", "o_year"]) \
+        .aggregate(Sum("part_n"), Sum("part_cents"))
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().rename(columns={
+            "sum(part_n)": "n_orders", "sum(part_cents)":
+                "revenue_cents"})
+        lvl1 = df[["o_orderpriority", "o_year", "n_orders",
+                   "revenue_cents"]]
+        lvl2 = df.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("n_orders", "sum"),
+            revenue_cents=("revenue_cents", "sum"))
+        lvl2["o_year"] = -1
+        lvl3 = pd.DataFrame({
+            "o_orderpriority": ["ALL"], "o_year": [-1],
+            "n_orders": [df["n_orders"].sum()],
+            "revenue_cents": [df["revenue_cents"].sum()]})
+        out = pd.concat([lvl1, lvl2, lvl3], ignore_index=True)
+        return _pd_table(out[["o_orderpriority", "o_year", "n_orders",
+                              "revenue_cents"]], _ROLLUP_SCHEMA)
+
+    return finest.repartition(1).map_batches(rollup,
+                                             batch_format="pyarrow")

@@ -137,6 +137,48 @@ def test_bigram_lm_score_one_doc_recompute(ray_session):
     assert row["avg_nll_micro"] == nll_sum // len(docs_bgs[doc_id])
 
 
+def _oracle_multi(name: str, tables, sf=SF) -> pd.DataFrame:
+    import __ray_entry__ as E
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    return con.execute(E.oracle_sql()[name]).fetchdf()
+
+
+# ------------------------------------------- users_vs_customers_outer
+
+def test_users_vs_customers_outer(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import \
+        users_vs_customers_outer
+    got = _pd(users_vs_customers_outer(SF))
+    # the roster is bigger than the active-user set: genuinely outer
+    assert (got["is_customer"] == 1).sum() > (got["n_events"] > 0).sum()
+    want = _oracle_multi("users_vs_customers_outer",
+                         ["events", "customer"])
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+
+
+# ------------------------------------------------------- revenue_rollup
+
+def test_revenue_rollup(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import \
+        revenue_rollup
+    got = _pd(revenue_rollup(SF))
+    # internal consistency across granularities
+    fine = got[(got["o_orderpriority"] != "ALL") & (got["o_year"] != -1)]
+    mid = got[(got["o_orderpriority"] != "ALL") & (got["o_year"] == -1)]
+    top = got[got["o_orderpriority"] == "ALL"]
+    assert len(top) == 1
+    assert fine["revenue_cents"].sum() == mid["revenue_cents"].sum() \
+        == top["revenue_cents"].iloc[0]
+    assert fine["n_orders"].sum() == top["n_orders"].iloc[0]
+    want = _oracle_multi("revenue_rollup", ["orders"])
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+
+
 # ----------------------------------- token_heavy_hitters_sketch
 
 def test_token_heavy_hitters_sketch(ray_session):
