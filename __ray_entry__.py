@@ -541,6 +541,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_vs_customers_outer":
             table_ops_r5c.users_vs_customers_outer,
         "revenue_rollup": table_ops_r5c.revenue_rollup,
+        # mixture materialization + decontaminated split (both
+        # deterministic md5-bucket rules, exactly reproducible in SQL)
+        "mixture_resample": table_ops_r5c.mixture_resample,
+        "leakage_safe_split": table_ops_r5c.leakage_safe_split,
         # ---- rows-only group (no oracle_sql entry; see rationale comment
         # below queries()) — kept LAST so the driver's 50-query oracle
         # window lands entirely on value-checked queries ----
@@ -1952,5 +1956,65 @@ def oracle_sql() -> dict[str, str]:
                          year(o_orderdate) AS o_year, o_totalprice
                   FROM orders)
             GROUP BY ROLLUP (o_orderpriority, o_year)
+        """,
+        "mixture_resample": """
+            -- keep-rate = the source's temperature share (ppm), decided
+            -- by the house md5-bucket rule (sample_documents precedent)
+            WITH s AS (
+              SELECT source,
+                     sum(len(regexp_extract_all(
+                         text, '[^ \\t\\n\\r\\f\\v]+')))::BIGINT
+                         AS n_tokens
+              FROM documents GROUP BY source),
+            w AS (
+              SELECT source, CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000
+                                        + 0.5) AS BIGINT) AS w_micro
+              FROM s),
+            shares AS (
+              SELECT source,
+                     CAST(CAST(w_micro AS HUGEINT) * 1000000
+                          // (SELECT sum(CAST(w_micro AS HUGEINT))
+                              FROM w) AS BIGINT) AS share_ppm
+              FROM w)
+            SELECT d.doc_id, d.source, d.lang, d.n_chars
+            FROM documents d JOIN shares USING (source)
+            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT
+                  % 1000000 < share_ppm
+        """,
+        "leakage_safe_split": """
+            -- near-dup components (the neardup_components CTE), then a
+            -- 90/10 md5-bucket split on the COMPONENT id so whole
+            -- clusters land on one side
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s)
+                       - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.4),
+            sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                    UNION ALL
+                    SELECT doc_b, doc_a FROM pairs),
+            reach(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.u, r.comp FROM reach r JOIN sym s ON s.v = r.node),
+            lab AS (
+              SELECT node AS doc_id, min(comp) AS component
+              FROM reach GROUP BY node)
+            SELECT doc_id, component,
+                   CASE WHEN ('0x' || substr(md5(component::VARCHAR),
+                                             1, 8))::UBIGINT % 100 < 90
+                        THEN 'train' ELSE 'val' END AS split
+            FROM lab
         """,
     }

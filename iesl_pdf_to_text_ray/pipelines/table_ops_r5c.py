@@ -717,3 +717,90 @@ def revenue_rollup(sf_dir: str):
 
     return finest.repartition(1).map_batches(rollup,
                                              batch_format="pyarrow")
+
+
+# ---------------------------------------------- mixture resampling
+
+_RESAMPLE_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("source", pa.string()),
+    ("lang", pa.string()), ("n_chars", pa.int64())])
+
+
+def mixture_resample(sf_dir: str):
+    """Materialize the training mix: keep each document with
+    probability equal to its source's temperature-scaled share
+    (``domain_mixture_weights``), decided by the house deterministic
+    md5 bucket so any engine reproduces the exact row set —
+    upweighted (small) sources keep a larger fraction of their docs,
+    downweighted (huge) ones are thinned.
+
+    Scale shape: the share table is O(sources) and broadcasts as a
+    plain dict; the pass itself is a streaming map-only hash filter
+    (no exchange at all)."""
+    shares = {
+        row["source"]: int(row["share_ppm"])
+        for _, row in domain_mixture_weights(sf_dir).to_pandas()
+        .iterrows()}
+
+    from .table_ops import _md5_bucket32
+    ds = _read_sized(sf_dir, "documents",
+                     columns=["doc_id", "source", "lang", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        bucket = _md5_bucket32(batch.column("doc_id").to_pylist()) \
+            % 1_000_000
+        rate = pd.Series(batch.column("source").to_pylist()) \
+            .map(shares).to_numpy(dtype=np.int64)
+        out = batch.filter(pa.array(bucket < rate))
+        return pa.table({
+            "doc_id": out.column("doc_id").cast(pa.int64()),
+            "source": out.column("source"),
+            "lang": out.column("lang"),
+            "n_chars": out.column("n_chars").cast(pa.int64())},
+            schema=_RESAMPLE_SCHEMA)
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# ------------------------------------------- leakage-safe split
+
+_SPLIT_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("component", pa.int64()),
+    ("split", pa.string())])
+
+
+def leakage_safe_split(sf_dir: str, train_pct: int = 90):
+    """Decontaminated train/validation split: documents split ~90/10 by
+    the deterministic md5 bucket of their near-dup COMPONENT, so a
+    whole near-duplicate cluster always lands on one side — the split a
+    training pipeline needs to keep eval text from leaking into train
+    via paraphrases (splitting on doc_id would put near-identical twins
+    on opposite sides).
+
+    Scale shape: the member-only component labels broadcast
+    (``component_label_ref``); the split is a map-only pass over the
+    corpus — no exchange."""
+    import ray
+
+    from .table_ops import _md5_bucket32
+    lab_ref = component_label_ref(sf_dir)
+    ds = _read_sized(sf_dir, "documents", columns=["doc_id"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys, comps = ray.get(lab_ref)
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        comp = d.copy()
+        if len(keys):
+            pos = np.searchsorted(keys, d)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == d
+            comp[hit] = comps[pos[hit]]
+        bucket = _md5_bucket32(comp.tolist()) % 100
+        split = np.where(bucket < train_pct, "train", "val")
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "component": pa.array(comp, pa.int64()),
+            "split": pa.array(split, pa.string())},
+            schema=_SPLIT_SCHEMA)
+
+    return ds.map_batches(tag, batch_format="pyarrow")

@@ -179,6 +179,39 @@ def test_revenue_rollup(ray_session):
                                   check_dtype=False)
 
 
+# -------------------------------------------------- mixture_resample
+
+def test_mixture_resample(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import \
+        mixture_resample
+    got = _pd(mixture_resample(SF))
+    assert len(got) > 0
+    want = _oracle_multi("mixture_resample", ["documents"])
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+
+
+# ------------------------------------------------ leakage_safe_split
+
+def test_leakage_safe_split(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops import \
+        neardup_components
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import \
+        leakage_safe_split
+    got = _pd(leakage_safe_split(SF))
+    assert len(got) == 500
+    assert set(got["split"]) == {"train", "val"}
+    # the whole point: no near-dup cluster straddles the split
+    sides = got.groupby("component")["split"].nunique()
+    assert (sides == 1).all()
+    # and the clusters are real (some have >1 member)
+    labels = _pd(neardup_components(SF))
+    assert labels.groupby("component").size().max() > 1
+    want = _oracle_multi("leakage_safe_split", ["documents"])
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+
+
 # ----------------------------------- token_heavy_hitters_sketch
 
 def test_token_heavy_hitters_sketch(ray_session):
