@@ -1733,6 +1733,21 @@ def component_label_ref(sf_dir: str, n_parts: int = 8,
     return _assemble_labels.remote(*lab.to_arrow_refs())
 
 
+def attach_labels(keys: np.ndarray, comps: np.ndarray,
+                  d: np.ndarray) -> np.ndarray:
+    """Component id per doc_id via the broadcast (sorted member ids,
+    labels) arrays; non-members get component = self.  The equality
+    mask is the mis-join guard: a clipped searchsorted hit must match
+    exactly or the doc keeps its own id."""
+    comp = d.copy()
+    if len(keys):
+        pos = np.searchsorted(keys, d)
+        pos[pos == len(keys)] = 0
+        hit = keys[pos] == d
+        comp[hit] = comps[pos[hit]]
+    return comp
+
+
 def _attach_components(sf_dir: str, lab_ref):
     """Label every document with its component: the (sorted keys, comps)
     label arrays are broadcast via the object store; singleton docs get
@@ -1744,12 +1759,7 @@ def _attach_components(sf_dir: str, lab_ref):
     def attach(batch: pa.Table) -> pa.Table:
         keys, comps = ray.get(lab_ref)
         d = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        comp = d.copy()
-        if len(keys):
-            pos = np.searchsorted(keys, d)
-            pos[pos == len(keys)] = 0
-            hit = keys[pos] == d
-            comp[hit] = comps[pos[hit]]
+        comp = attach_labels(keys, comps, d)
         return pa.table({"doc_id": pa.array(d, pa.int64()),
                          "component": pa.array(comp, pa.int64())},
                         schema=_LABEL_SCHEMA)

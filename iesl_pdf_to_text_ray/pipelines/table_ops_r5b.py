@@ -63,6 +63,8 @@ def _sorted_lookup(keys: np.ndarray, values: np.ndarray,
     """Exact sorted-array lookup (searchsorted + equality mask — the
     ADVICE-flagged clipped-searchsorted mis-join guard).  Unmatched
     query keys get None; callers on FK-clean TPC-H data see none."""
+    if len(keys) == 0:   # clip would wrap to -1 and index garbage
+        return np.full(len(query), None, dtype=object)
     pos = np.clip(np.searchsorted(keys, query), 0, len(keys) - 1)
     out = values[pos].copy()
     out[keys[pos] != query] = None
@@ -86,6 +88,41 @@ def _nation_names_ref(sf_dir: str):
         return name_by_key
 
     return _build.remote(sf_dir)
+
+
+class _LineitemNationProject:
+    """Shared lineitem projection for the Q7/Q9 flavors: attach the
+    supplier's nation via the broadcast sorted lookup, extract the ship
+    year, compute revenue cents, and pass the per-query key columns
+    through.  Actor-pool stage: the lookup arrays deserialize once per
+    actor in __init__."""
+
+    _CASTS = {"l_orderkey": pa.int64(), "l_partkey": pa.int64(),
+              "l_quantity": pa.float64()}
+
+    def __init__(self, supp_ref, passthrough, nation_col, cents_col):
+        import ray
+        d = ray.get(supp_ref)
+        self.keys, self.nation = d["keys"], d["nation"]
+        self.passthrough = passthrough
+        self.nation_col = nation_col
+        self.cents_col = cents_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sk = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
+        nation = _sorted_lookup(self.keys, self.nation, sk)
+        price = np.asarray(batch.column("l_extendedprice"),
+                           dtype=np.float64)
+        disc = np.asarray(batch.column("l_discount"), dtype=np.float64)
+        year = batch.column("l_shipdate").to_pandas() \
+            .dt.year.to_numpy(dtype=np.int64)
+        cols = {c: batch.column(c).cast(self._CASTS[c])
+                for c in self.passthrough}
+        cols[self.nation_col] = pa.array(nation, pa.string())
+        cols["l_year"] = pa.array(year, pa.int64())
+        cols[self.cents_col] = pa.array(_cents(price * (1.0 - disc)),
+                                        pa.int64())
+        return pa.table(cols)
 
 
 # ------------------------------------------------- TPC-H Q7: volume pairs
@@ -131,30 +168,10 @@ def volume_shipping(sf_dir: str,
                      columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                               "l_discount", "l_shipdate"])
 
-    class LiProject:
-        def __init__(self):
-            import ray
-            d = ray.get(supp_ref)
-            self.keys, self.nation = d["keys"], d["nation"]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            sk = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
-            nation = _sorted_lookup(self.keys, self.nation, sk)
-            price = np.asarray(batch.column("l_extendedprice"),
-                               dtype=np.float64)
-            disc = np.asarray(batch.column("l_discount"),
-                              dtype=np.float64)
-            year = batch.column("l_shipdate").to_pandas() \
-                .dt.year.to_numpy(dtype=np.int64)
-            return pa.table({
-                "l_orderkey": batch.column("l_orderkey").cast(pa.int64()),
-                "supp_nation": pa.array(nation, pa.string()),
-                "l_year": pa.array(year, pa.int64()),
-                "cents": pa.array(_cents(price * (1.0 - disc)),
-                                  pa.int64())})
-
-    li = li.map_batches(LiProject, batch_format="pyarrow",
-                        concurrency=(1, 8))
+    li = li.map_batches(_LineitemNationProject,
+                        fn_constructor_args=(supp_ref, ["l_orderkey"],
+                                             "supp_nation", "cents"),
+                        batch_format="pyarrow", concurrency=(1, 8))
     orders = _read_sized(sf_dir, "orders",
                          columns=["o_orderkey", "o_custkey"])
 
@@ -263,32 +280,11 @@ def product_profit(sf_dir: str):
                               "l_extendedprice", "l_discount",
                               "l_shipdate"])
 
-    class LiProject:
-        def __init__(self):
-            import ray
-            d = ray.get(supp_ref)
-            self.keys, self.nation = d["keys"], d["nation"]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            sk = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
-            nation = _sorted_lookup(self.keys, self.nation, sk)
-            price = np.asarray(batch.column("l_extendedprice"),
-                               dtype=np.float64)
-            disc = np.asarray(batch.column("l_discount"),
-                              dtype=np.float64)
-            year = batch.column("l_shipdate").to_pandas() \
-                .dt.year.to_numpy(dtype=np.int64)
-            return pa.table({
-                "l_partkey": batch.column("l_partkey").cast(pa.int64()),
-                "nation": pa.array(nation, pa.string()),
-                "l_year": pa.array(year, pa.int64()),
-                "l_quantity": batch.column("l_quantity")
-                    .cast(pa.float64()),
-                "rev_cents": pa.array(_cents(price * (1.0 - disc)),
-                                      pa.int64())})
-
-    li = li.map_batches(LiProject, batch_format="pyarrow",
-                        concurrency=(1, 8))
+    li = li.map_batches(_LineitemNationProject,
+                        fn_constructor_args=(supp_ref,
+                                             ["l_partkey", "l_quantity"],
+                                             "nation", "rev_cents"),
+                        batch_format="pyarrow", concurrency=(1, 8))
     part = _read_sized(sf_dir, "part",
                        columns=["p_partkey", "p_retailprice"])
 
@@ -472,15 +468,12 @@ def dedup_keep_best(sf_dir: str):
 
 # ---------------------------------------------- distributed TF-IDF top-k
 
-_TFIDF_CNT_PARTIAL = pa.schema([
+_TFIDF_PARTIAL = pa.schema([
     ("lang", pa.string()), ("term", pa.string()),
-    ("part_cnt", pa.int64())])
-_TFIDF_CNT_SCHEMA = pa.schema([
-    ("lang", pa.string()), ("term", pa.string()), ("cnt", pa.int64())])
-_TFIDF_DF_PARTIAL = pa.schema([
-    ("df_term", pa.string()), ("part_df", pa.int64())])
-_TFIDF_DF_SCHEMA = pa.schema([
-    ("df_term", pa.string()), ("df", pa.int64())])
+    ("part_cnt", pa.int64()), ("part_df", pa.int64())])
+_TFIDF_JOINED = pa.schema([
+    ("lang", pa.string()), ("term", pa.string()), ("cnt", pa.int64()),
+    ("df", pa.int64())])
 _TFIDF_SCHEMA = pa.schema([
     ("lang", pa.string()), ("term", pa.string()), ("cnt", pa.int64()),
     ("score_micro", pa.int64())])
@@ -495,57 +488,52 @@ def tfidf_lang_topk(sf_dir: str, k: int = 10):
     not inherit), and the per-unique-df memoization keeps the scalar
     calls vocabulary-bounded.
 
-    Scale shape: three vocabulary-bounded exchanges — per-batch term
-    counts and per-batch per-doc-distinct document frequencies (a doc
-    is one row, so batch-local distinct is a lossless DF partial) each
-    fold through the coarse-partition aggregate; counts x DF co-locate
-    by term in the partitioned hash join; the top-k is a per-batch
-    local head + one per-lang merge (never a global sort)."""
+    Scale shape: ONE tokenize pass emits combined per-(batch, lang,
+    term) partials carrying both the occurrence count and the
+    per-doc-distinct DF contribution (a doc is one row, so batch-local
+    distinct is a lossless DF partial); partitioning by TERM co-locates
+    every language's rows for a term, so the per-term group computes
+    exact counts AND the cross-language document frequency in place —
+    no second pass, no join.  The top-k is a per-batch local head + one
+    per-lang merge (never a global sort)."""
     from ..functions.textops import _TOKEN_RE
 
     docs = _read_sized(sf_dir, "documents", columns=["lang", "text"])
     n_docs = _read(sf_dir, "documents", columns=["doc_id"]).count()
 
-    def cnt_partial(batch: pa.Table) -> pa.Table:
-        toks = pd.DataFrame({
-            "lang": batch.column("lang").to_pylist(),
-            "t": pd.Series(batch.column("text").to_pylist(),
-                           dtype=object).fillna("")
-                   .str.findall(_TOKEN_RE)}).explode("t").dropna()
-        g = toks.groupby(["lang", "t"], as_index=False).size()
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        toks = pd.Series(batch.column("text").to_pylist(), dtype=object) \
+            .fillna("").str.findall(_TOKEN_RE)
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        big = pd.DataFrame({
+            "i": np.repeat(np.arange(len(langs)), lens),
+            "lang": np.repeat(np.asarray(langs, dtype=object), lens),
+            "t": [t for ts in toks for t in ts]})
+        cnt = big.groupby(["lang", "t"], as_index=False).size() \
+            .rename(columns={"size": "part_cnt"})
+        dfp = big.drop_duplicates(["i", "t"]) \
+            .groupby(["lang", "t"], as_index=False).size() \
+            .rename(columns={"size": "part_df"})
+        g = cnt.merge(dfp, on=["lang", "t"])
         return pa.table({"lang": pa.array(g["lang"], pa.string()),
                          "term": pa.array(g["t"], pa.string()),
-                         "part_cnt": pa.array(g["size"], pa.int64())},
-                        schema=_TFIDF_CNT_PARTIAL)
+                         "part_cnt": pa.array(g["part_cnt"], pa.int64()),
+                         "part_df": pa.array(g["part_df"], pa.int64())},
+                        schema=_TFIDF_PARTIAL)
 
-    def cnt_group(g: pa.Table) -> pa.Table:
+    def term_group(g: pa.Table) -> pa.Table:
         df = g.to_pandas().groupby(["lang", "term"], as_index=False) \
-            .agg(cnt=("part_cnt", "sum"))
-        return _pd_table(df[["lang", "term", "cnt"]], _TFIDF_CNT_SCHEMA)
+            .agg(cnt=("part_cnt", "sum"), df_l=("part_df", "sum"))
+        # all langs of a term are co-located here, so the term's total
+        # document frequency is an in-group transform
+        df["df"] = df.groupby("term")["df_l"].transform("sum")
+        return _pd_table(df[["lang", "term", "cnt", "df"]],
+                         _TFIDF_JOINED)
 
-    counts = _partitioned_agg(
-        docs.map_batches(cnt_partial, batch_format="pyarrow"),
-        "term", cnt_group, n_parts=16)
-
-    def df_partial(batch: pa.Table) -> pa.Table:
-        s = pd.Series(batch.column("text").to_pylist(), dtype=object) \
-            .fillna("").str.findall(_TOKEN_RE)
-        per_doc = s.apply(lambda ts: list(set(ts))).explode().dropna()
-        vc = per_doc.value_counts()
-        return pa.table({"df_term": pa.array(vc.index, pa.string()),
-                         "part_df": pa.array(vc.to_numpy(), pa.int64())},
-                        schema=_TFIDF_DF_PARTIAL)
-
-    def df_group(g: pa.Table) -> pa.Table:
-        df = g.to_pandas().groupby("df_term", as_index=False) \
-            .agg(df=("part_df", "sum"))
-        return _pd_table(df[["df_term", "df"]], _TFIDF_DF_SCHEMA)
-
-    dfs = _partitioned_agg(
-        docs.map_batches(df_partial, batch_format="pyarrow"),
-        "df_term", df_group, n_parts=16)
-
-    joined = hash_join(counts, dfs, "term", "df_term", n_parts=16)
+    joined = _partitioned_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        "term", term_group, n_parts=16)
 
     def score(batch: pa.Table) -> pa.Table:
         cnt = np.asarray(batch.column("cnt"), dtype=np.int64)

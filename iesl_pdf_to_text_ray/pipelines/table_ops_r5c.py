@@ -22,7 +22,7 @@ import pyarrow as pa
 
 from ..functions.textops import _TOKEN_RE
 from .joins import _pd_table, hash_join
-from .table_ops import (_partitioned_agg, _read_sized,
+from .table_ops import (_partitioned_agg, _read_sized, attach_labels,
                         component_label_ref)
 
 # ------------------------------------------- fuzzy dedup, end to end
@@ -80,12 +80,7 @@ def _cluster_keep_best(sf_dir: str, lab_ref):
     def fold(batch: pa.Table) -> pa.Table:
         keys, comps = ray.get(lab_ref)
         d = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        comp = d.copy()
-        if len(keys):
-            pos = np.searchsorted(keys, d)
-            pos[pos == len(keys)] = 0
-            hit = keys[pos] == d
-            comp[hit] = comps[pos[hit]]
+        comp = attach_labels(keys, comps, d)
         df = pd.DataFrame({
             "component": comp, "doc_id": d,
             "n_chars": np.asarray(batch.column("n_chars"),
@@ -187,8 +182,12 @@ def bigram_lm_score(sf_dir: str):
     table by bigram hash and folds per-doc partial sums into the merge,
     and the final exchange carries O(docs) rows."""
     docs = _read_sized(sf_dir, "documents", columns=["doc_id", "text"])
+    # occ feeds c2 AND the scoring join; c2 feeds c1 AND the score
+    # table.  Pin both (the table_ops_r5 lineage discipline) or Ray's
+    # lazy re-execution re-reads and re-tokenizes the corpus per
+    # consumer — measured 3 tokenize passes for one query without this.
     occ = docs.map_batches(_doc_bigram_occurrences,
-                           batch_format="pyarrow")
+                           batch_format="pyarrow").materialize()
 
     # c2: corpus-wide bigram counts (partial -> coarse-partition sum)
     def c2_partial(batch: pa.Table) -> pa.Table:
@@ -204,7 +203,7 @@ def bigram_lm_score(sf_dir: str):
 
     c2 = _partitioned_agg(occ.map_batches(c2_partial,
                                           batch_format="pyarrow"),
-                          "bg", c2_group, n_parts=16)
+                          "bg", c2_group, n_parts=16).materialize()
 
     # c1: left-token totals, derived from c2 (vocabulary-bounded)
     def c1_group(g: pa.Table) -> pa.Table:
@@ -338,8 +337,11 @@ def domain_mixture_weights(sf_dir: str):
         }), _MIX_SCHEMA)
 
     # the per-source table is tiny; normalization needs the global sum,
-    # so it runs in exactly one task
-    return agg.repartition(1).map_batches(shares, batch_format="pyarrow")
+    # so it runs in exactly one task over the WHOLE block (batch_size
+    # None: the default 1024-row batching would renormalize per batch
+    # if sources ever exceeded it)
+    return agg.repartition(1).map_batches(shares, batch_format="pyarrow",
+                                          batch_size=None)
 
 
 # --------------------------------------------- distributed k-means
@@ -408,7 +410,15 @@ def kmeans_one_step(sf_dir: str, k: int = 8):
     Scale shape: centroids broadcast once via ray.put; each batch folds
     to k x dim partial-sum rows (O(k*dim) per batch, independent of
     batch size); the exchange is a k*dim-key groupby — never a
-    per-vector shuffle."""
+    per-vector shuffle.
+
+    Float-boundary assumption (documented per the house ADVICE rule,
+    same exposure class as label_centroids): centroid_val is a float
+    mean compared under the checker's round(6), and the argmin could in
+    principle flip between engines on a near-exact distance tie (both
+    engines use the same (x-c)^2 formula on the same float64 values, so
+    only accumulated rounding differs — vanishing on real-valued
+    embeddings, impossible to hit with the synthetic corpus)."""
     import functools
 
     import ray
@@ -715,8 +725,11 @@ def revenue_rollup(sf_dir: str):
         return _pd_table(out[["o_orderpriority", "o_year", "n_orders",
                               "revenue_cents"]], _ROLLUP_SCHEMA)
 
+    # batch_size=None: the rollup must see the whole finest table in one
+    # batch, or >1024 finest cells would emit duplicate 'ALL' rows
     return finest.repartition(1).map_batches(rollup,
-                                             batch_format="pyarrow")
+                                             batch_format="pyarrow",
+                                             batch_size=None)
 
 
 # ---------------------------------------------- mixture resampling
@@ -789,12 +802,7 @@ def leakage_safe_split(sf_dir: str, train_pct: int = 90):
     def tag(batch: pa.Table) -> pa.Table:
         keys, comps = ray.get(lab_ref)
         d = np.asarray(batch.column("doc_id"), dtype=np.int64)
-        comp = d.copy()
-        if len(keys):
-            pos = np.searchsorted(keys, d)
-            pos[pos == len(keys)] = 0
-            hit = keys[pos] == d
-            comp[hit] = comps[pos[hit]]
+        comp = attach_labels(keys, comps, d)
         bucket = _md5_bucket32(comp.tolist()) % 100
         split = np.where(bucket < train_pct, "train", "val")
         return pa.table({
