@@ -545,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic md5-bucket rules, exactly reproducible in SQL)
         "mixture_resample": table_ops_r5c.mixture_resample,
         "leakage_safe_split": table_ops_r5c.leakage_safe_split,
+        "quality_gate": table_ops_r5c.quality_gate,
         # ---- rows-only group (no oracle_sql entry; see rationale comment
         # below queries()) — kept LAST so the driver's 50-query oracle
         # window lands entirely on value-checked queries ----
@@ -2016,5 +2017,20 @@ def oracle_sql() -> dict[str, str]:
                                              1, 8))::UBIGINT % 100 < 90
                         THEN 'train' ELSE 'val' END AS split
             FROM lab
+        """,
+        "quality_gate": """
+            -- integer alpha density, per-lang quantile_disc(0.5) gate
+            WITH s AS (
+              SELECT doc_id, lang,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         ::BIGINT * 1000000
+                     // greatest(length(text), 1) AS alpha_ppm
+              FROM documents),
+            thr AS (
+              SELECT lang, quantile_disc(alpha_ppm, 0.5) AS thr
+              FROM s GROUP BY lang)
+            SELECT s.doc_id, s.lang, s.alpha_ppm
+            FROM s JOIN thr USING (lang)
+            WHERE s.alpha_ppm >= thr.thr
         """,
     }

@@ -504,6 +504,80 @@ def kmeans_cluster(sf_dir: str, k: int = 8, max_iters: int = 10,
     return ds.map_batches(assign_batch, batch_format="pyarrow")
 
 
+# ------------------------------------------------ quality gating
+
+_QG_SCORED = pa.schema([
+    ("doc_id", pa.int64()), ("lang", pa.string()),
+    ("alpha_ppm", pa.int64())])
+_QG_PARTIAL = pa.schema([
+    ("lang", pa.string()), ("alpha_ppm", pa.int64()),
+    ("part_n", pa.int64())])
+
+
+def quality_gate(sf_dir: str, q: float = 0.5):
+    """Percentile quality filter: keep documents whose alphabetic-
+    character density (alpha_ppm — an INTEGER: alpha_chars * 1e6 //
+    length, so no float ratio can flip the boundary) is at or above
+    their language's ``q``-quantile — the per-language relative gate a
+    curation pipeline uses instead of one absolute threshold (languages
+    have different baseline densities).  quantile_disc rank semantics
+    (value at rank ceil(q*n)), same as quantile_stats.
+
+    Scale shape: the scored projection (3 narrow columns) materializes
+    once and serves both passes; pass 1 folds per-batch (lang, score)
+    value counts and picks per-lang thresholds from O(distinct scores)
+    rows (never a global sort); the O(langs) threshold dict broadcasts
+    into a map-only filter."""
+    import math
+
+    import ray
+
+    ds = _read_sized(sf_dir, "documents",
+                     columns=["doc_id", "lang", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").to_pandas().fillna("")
+        alpha = text.str.count(r"[a-zA-Z]").astype("int64").to_numpy()
+        length = text.str.len().astype("int64").clip(lower=1).to_numpy()
+        return pa.table({
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "lang": batch.column("lang"),
+            "alpha_ppm": pa.array(alpha * 1_000_000 // length,
+                                  pa.int64())}, schema=_QG_SCORED)
+
+    scored = ds.map_batches(score, batch_format="pyarrow").materialize()
+
+    def vc_partial(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas().groupby(["lang", "alpha_ppm"],
+                                      as_index=False).size() \
+            .rename(columns={"size": "part_n"})
+        return _pd_table(g, _QG_PARTIAL)
+
+    def pick(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().groupby("alpha_ppm", as_index=False) \
+            .agg(n=("part_n", "sum")).sort_values("alpha_ppm")
+        cum = df["n"].to_numpy().cumsum()
+        idx = int(np.searchsorted(cum, math.ceil(q * int(cum[-1]))))
+        return pa.table({
+            "lang": [group.column("lang")[0].as_py()],
+            "thr": pa.array([int(df["alpha_ppm"].to_numpy()[idx])],
+                            pa.int64())})
+
+    thr = {row["lang"]: int(row["thr"])
+           for row in scored.map_batches(vc_partial,
+                                         batch_format="pyarrow")
+           .groupby("lang").map_groups(pick, batch_format="pyarrow")
+           .take_all()}
+
+    def gate(batch: pa.Table) -> pa.Table:
+        score_v = np.asarray(batch.column("alpha_ppm"), dtype=np.int64)
+        cut = batch.column("lang").to_pandas().map(thr) \
+            .to_numpy(dtype=np.int64)
+        return batch.filter(pa.array(score_v >= cut))
+
+    return scored.map_batches(gate, batch_format="pyarrow")
+
+
 # ------------------------------------ count-min heavy-hitters sketch
 
 _CMS_D, _CMS_W = 4, 2048

@@ -179,6 +179,23 @@ def test_revenue_rollup(ray_session):
                                   check_dtype=False)
 
 
+# ----------------------------------------------------- quality_gate
+
+def test_quality_gate(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import \
+        quality_gate
+    got = _pd(quality_gate(SF))
+    # the median gate keeps roughly (and at least) half of each lang
+    per_lang = got.groupby("lang").size()
+    assert (per_lang >= 1).all() and 250 <= len(got) < 500
+    # gate rule holds within the result: everything >= its lang's min
+    for lang, g in got.groupby("lang"):
+        assert (g["alpha_ppm"] >= g["alpha_ppm"].min()).all()
+    want = _oracle_multi("quality_gate", ["documents"])
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+
+
 # -------------------------------------------------- mixture_resample
 
 def test_mixture_resample(ray_session):
