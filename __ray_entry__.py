@@ -571,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_cluster_dedup": table_ops_r5c.minhash_cluster_dedup,
         "token_heavy_hitters_sketch":
             table_ops_r5c.token_heavy_hitters_sketch,
+        "bpe_train": table_ops_r5c.bpe_train,
     }
 
 
@@ -628,6 +629,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 #     seeded counter hashes are not SQL-reproducible); never-undershoot
 #     and top-set agreement vs exact counts are pinned in
 #     tests/test_round5c_ops.py.
+#   bpe_train — full iterative BPE training (data-dependent greedy merge
+#     loop, not SQL-expressible); its single-round core IS oracle-checked
+#     (bpe_merge_pairs), and the merge sequence is pinned merge-for-merge
+#     against a local reference trainer in tests/test_round5c_ops.py.
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": """

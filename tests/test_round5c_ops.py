@@ -179,6 +179,62 @@ def test_revenue_rollup(ray_session):
                                   check_dtype=False)
 
 
+# --------------------------------------------------------- bpe_train
+
+def test_bpe_train_matches_local_reference(ray_session):
+    """The distributed trainer's merge sequence equals a from-scratch
+    single-process BPE (same greedy rule, same tie-break), merge for
+    merge — all-integer counts, so equality is exact."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from iesl_pdf_to_text_ray.functions.textops import _TOKEN_RE
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import bpe_train
+
+    got = bpe_train(SF, n_merges=6).to_pandas()
+    assert len(got) == 6
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    vocab: Counter = Counter()
+    for txt in t.column("text").to_pylist():
+        vocab.update(_TOKEN_RE.findall(txt or ""))
+    words = {w: (list(w), f) for w, f in vocab.items()}
+    for step in range(6):
+        counts: Counter = Counter()
+        for syms, f in words.values():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        (l, r), n = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0]))
+        row = got.iloc[step]
+        assert (row["left"], row["right"], row["n"]) == (l, r, n), step
+        assert row["merged"] == l + r
+        for w, (syms, f) in words.items():
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l \
+                        and syms[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            words[w] = (new, f)
+
+
+def test_bpe_train_first_round_matches_bpe_merge_pairs(ray_session):
+    """Round 0 of the trainer must agree with the oracle-checked
+    single-round query on the winning pair and its count."""
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5 import \
+        bpe_merge_pairs
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import bpe_train
+    got = bpe_train(SF, n_merges=1).to_pandas().iloc[0]
+    top = _pd(bpe_merge_pairs(SF)).iloc[0]
+    assert got["left"] + got["right"] == top["pair"].replace(" ", "") \
+        or got["left"] + got["right"] == top["pair"]
+    assert got["n"] == top["n"]
+
+
 # ----------------------------------------------------- quality_gate
 
 def test_quality_gate(ray_session):
