@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_heavy_hitters_sketch":
             table_ops_r5c.token_heavy_hitters_sketch,
         "bpe_train": table_ops_r5c.bpe_train,
+        "bpe_encode": table_ops_r5c.bpe_encode,
     }
 
 
@@ -633,6 +634,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 #     loop, not SQL-expressible); its single-round core IS oracle-checked
 #     (bpe_merge_pairs), and the merge sequence is pinned merge-for-merge
 #     against a local reference trainer in tests/test_round5c_ops.py.
+#   bpe_encode — applies the bpe_train merges (same non-SQL loop);
+#     per-doc token counts are pinned against a local re-encode with the
+#     reference trainer's merges in tests/test_round5c_ops.py.
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": """

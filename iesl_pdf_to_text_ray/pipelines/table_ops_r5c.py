@@ -633,6 +633,71 @@ def bpe_train(sf_dir: str, n_merges: int = 10):
     return pa.table(merges, schema=_BPE_MERGES)
 
 
+_BPE_ENC_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("n_words", pa.int64()),
+    ("n_bpe_tokens", pa.int64()), ("compression_ppm", pa.int64())])
+
+
+def bpe_encode(sf_dir: str, n_merges: int = 10):
+    """Apply a trained BPE tokenizer to the corpus: train ``n_merges``
+    merges (``bpe_train``), then encode every document and report its
+    word count, BPE-token count, and the integer compression ratio
+    (tokens * 1e6 // chars) — the train -> encode round trip a
+    tokenizer pipeline runs before packing sequences.
+
+    Scale shape: the merge table is O(n_merges) and broadcasts inside
+    the encode closure; encoding is a map-only pass that BPE-encodes
+    each batch's UNIQUE words once (vocabulary-bounded) and sums per
+    doc through the cached segmentations."""
+    merges = [(row["left"], row["right"])
+              for row in bpe_train(sf_dir, n_merges).to_pylist()]
+
+    def encode_word(word: str) -> int:
+        syms = list(word)
+        for left, right in merges:
+            new, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    new.append(left + right)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            syms = new
+        return len(syms)
+
+    docs = _read_sized(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        toks = pd.Series(batch.column("text").to_pylist(),
+                         dtype=object).fillna("") \
+            .str.findall(_TOKEN_RE)
+        cache: dict = {}
+        n_words, n_bpe, n_chars = [], [], []
+        for ts in toks:
+            total = 0
+            for w in ts:
+                if w not in cache:
+                    cache[w] = encode_word(w)
+                total += cache[w]
+            n_words.append(len(ts))
+            n_bpe.append(total)
+            n_chars.append(sum(len(w) for w in ts))
+        n_bpe = np.asarray(n_bpe, dtype=np.int64)
+        chars = np.maximum(np.asarray(n_chars, dtype=np.int64), 1)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+            "compression_ppm": pa.array(n_bpe * 1_000_000 // chars,
+                                        pa.int64())},
+            schema=_BPE_ENC_SCHEMA)
+
+    return docs.map_batches(encode, batch_format="pyarrow")
+
+
 # ------------------------------------------------ quality gating
 
 _QG_SCORED = pa.schema([

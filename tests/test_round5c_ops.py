@@ -235,6 +235,47 @@ def test_bpe_train_first_round_matches_bpe_merge_pairs(ray_session):
     assert got["n"] == top["n"]
 
 
+def test_bpe_encode_matches_local_reencode(ray_session):
+    """Per-doc BPE token counts equal a local re-encode using the same
+    merge table; compression is genuine (tokens < chars somewhere)."""
+    import pyarrow.parquet as pq
+    from iesl_pdf_to_text_ray.functions.textops import _TOKEN_RE
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import (
+        bpe_encode, bpe_train)
+    got = _pd(bpe_encode(SF, n_merges=4)).set_index("doc_id")
+    merges = [(r["left"], r["right"])
+              for r in bpe_train(SF, n_merges=4).to_pylist()]
+
+    def enc(word):
+        syms = list(word)
+        for l, r in merges:
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l \
+                        and syms[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            syms = new
+        return len(syms)
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    checked = 0
+    for _, row in t.head(50).iterrows():
+        ws = _TOKEN_RE.findall(row["text"] or "")
+        want = sum(enc(w) for w in ws)
+        g = got.loc[row["doc_id"]]
+        assert g["n_words"] == len(ws) and g["n_bpe_tokens"] == want
+        checked += 1
+    assert checked == 50
+    assert (got["n_bpe_tokens"] < got["n_words"].rsub(0).abs()
+            * 100).all()  # sanity bound
+    assert (got["compression_ppm"] < 1_000_000).any()
+
+
 # ----------------------------------------------------- quality_gate
 
 def test_quality_gate(ray_session):
