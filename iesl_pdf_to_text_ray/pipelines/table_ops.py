@@ -489,7 +489,9 @@ def media_features(sf_dir: str):
             "payload": pa.array([(t or "").encode() for t in texts],
                                 pa.binary())})
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # size-aware read: this side feeds media_training_manifest's join,
+    # where 64 near-empty default blocks quadruple the sort-shuffle cost
+    ds = _read_sized(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(to_media, batch_format="pyarrow")
     ds = ds.map_batches(DecodeImageStage, batch_format="pyarrow",
                         batch_size=32, concurrency=(1, 4))

@@ -412,13 +412,10 @@ def spans_media_gallery(sf_dir: str):
     shuffle.  The SQL oracle reproduces the synthesis rule's md5-gated
     media placement and its offset arithmetic (offset = chunk index +
     media ordinal - 1)."""
-    import ray.data
     from .spans_ops import synthesize_spans_batch
-    from .table_ops import _clean_schema
-    path = os.path.join(sf_dir, "documents.parquet")
-    ds = ray.data.read_parquet(path, columns=["doc_id", "text"],
-                               schema=_clean_schema(path,
-                                                    ["doc_id", "text"]))
+    from .table_ops import _read_sized
+    # size-aware read (join-feeding side; see media_features)
+    ds = _read_sized(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(synthesize_spans_batch, batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
