@@ -546,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_resample": table_ops_r5c.mixture_resample,
         "leakage_safe_split": table_ops_r5c.leakage_safe_split,
         "quality_gate": table_ops_r5c.quality_gate,
+        "incremental_dedup": table_ops_r5c.incremental_dedup,
         # ---- rows-only group (no oracle_sql entry; see rationale comment
         # below queries()) — kept LAST so the driver's 50-query oracle
         # window lands entirely on value-checked queries ----
@@ -2041,5 +2042,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, s.lang, s.alpha_ppm
             FROM s JOIN thr USING (lang)
             WHERE s.alpha_ppm >= thr.thr
+        """,
+        "incremental_dedup": """
+            -- near-dup components (the neardup_components CTE); every
+            -- 10th doc is the 'new shard', the rest are the index
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         generate_series(1, len(t) - 2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                    / (len(a.s) + len(b.s)
+                       - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.4),
+            sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                    UNION ALL
+                    SELECT doc_b, doc_a FROM pairs),
+            reach(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT s.u, r.comp FROM reach r JOIN sym s ON s.v = r.node),
+            lab AS (
+              SELECT node AS doc_id, min(comp) AS component
+              FROM reach GROUP BY node),
+            m AS (
+              SELECT doc_id, component, doc_id % 10 = 0 AS is_new
+              FROM lab),
+            has_idx AS (
+              SELECT DISTINCT component FROM m WHERE NOT is_new),
+            n AS (
+              SELECT doc_id, component,
+                     row_number() OVER (PARTITION BY component
+                         ORDER BY doc_id) AS rn
+              FROM m WHERE is_new)
+            SELECT n.doc_id, n.component,
+                   CASE WHEN h.component IS NOT NULL
+                            THEN 'dup_of_index'
+                        WHEN rn = 1 THEN 'kept'
+                        ELSE 'dup_in_shard' END AS status
+            FROM n LEFT JOIN has_idx h USING (component)
         """,
     }

@@ -504,6 +504,66 @@ def kmeans_cluster(sf_dir: str, k: int = 8, max_iters: int = 10,
     return ds.map_batches(assign_batch, batch_format="pyarrow")
 
 
+# -------------------------------------------- incremental dedup
+
+_INC_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()), ("component", pa.int64()),
+    ("status", pa.string())])
+
+
+def incremental_dedup(sf_dir: str):
+    """Delta-ingest fuzzy dedup: treat every 10th document as the NEWLY
+    ARRIVED shard and dedup it against the already-indexed corpus via
+    the near-dup graph — a new doc is ``dup_of_index`` if its near-dup
+    cluster contains any index document, ``dup_in_shard`` if an earlier
+    (lower doc_id) new document shares its cluster, else ``kept``.  The
+    production shape for continuous ingestion against a fuzzy index.
+
+    Scale shape: the member-only component labels broadcast
+    (``component_label_ref``); the index-membership and first-new-per-
+    cluster structures derive from those small arrays in one task and
+    broadcast too; the verdict pass over the new shard is map-only —
+    no exchange touches the corpus."""
+    import ray
+
+    lab_ref = component_label_ref(sf_dir)
+
+    @ray.remote
+    def _cluster_info(lab):
+        keys, comps = lab
+        is_new = keys % 10 == 0
+        has_index = np.unique(comps[~is_new])
+        # first (min doc_id) new member per component: keys are sorted,
+        # so the first hit per comp wins
+        first_new: dict = {}
+        for k, c in zip(keys[is_new], comps[is_new]):
+            first_new.setdefault(int(c), int(k))
+        return has_index, first_new
+
+    info_ref = _cluster_info.remote(lab_ref)
+
+    ds = _read_sized(sf_dir, "documents", columns=["doc_id"])
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        keys, comps = ray.get(lab_ref)
+        has_index, first_new = ray.get(info_ref)
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        d = d[d % 10 == 0]
+        comp = attach_labels(keys, comps, d)
+        in_index = np.isin(comp, has_index)
+        first = np.array([first_new.get(int(c), int(k)) == int(k)
+                          for k, c in zip(d, comp)])
+        status = np.where(in_index, "dup_of_index",
+                          np.where(first, "kept", "dup_in_shard"))
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "component": pa.array(comp, pa.int64()),
+            "status": pa.array(status, pa.string())},
+            schema=_INC_SCHEMA)
+
+    return ds.map_batches(verdict, batch_format="pyarrow")
+
+
 # ------------------------------------------------ BPE training
 
 _BPE_VOCAB = pa.schema([

@@ -179,6 +179,23 @@ def test_revenue_rollup(ray_session):
                                   check_dtype=False)
 
 
+# -------------------------------------------------- incremental_dedup
+
+def test_incremental_dedup(ray_session):
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import \
+        incremental_dedup
+    got = _pd(incremental_dedup(SF))
+    assert set(got["status"]) <= {"kept", "dup_of_index",
+                                  "dup_in_shard"}
+    assert len(got) == 50  # every new-shard doc gets a verdict
+    assert (got["status"] == "kept").sum() > 0
+    # the planted near-dup clusters cross the shard boundary
+    assert (got["status"] == "dup_of_index").sum() > 0
+    want = _oracle_multi("incremental_dedup", ["documents"])
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+
+
 # --------------------------------------------------------- bpe_train
 
 def test_bpe_train_matches_local_reference(ray_session):
