@@ -574,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             table_ops_r5c.token_heavy_hitters_sketch,
         "bpe_train": table_ops_r5c.bpe_train,
         "bpe_encode": table_ops_r5c.bpe_encode,
+        "kcenter_sample": table_ops_r5c.kcenter_sample,
     }
 
 
@@ -638,6 +639,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 #   bpe_encode — applies the bpe_train merges (same non-SQL loop);
 #     per-doc token counts are pinned against a local re-encode with the
 #     reference trainer's merges in tests/test_round5c_ops.py.
+#   kcenter_sample — greedy farthest-point selection (iterative,
+#     data-dependent like kmeans_cluster); the pick sequence is pinned
+#     against a from-scratch local k-center in tests/test_round5c_ops.py.
 def oracle_sql() -> dict[str, str]:
     return {
         "dedup_exact": """

@@ -832,6 +832,74 @@ def quality_gate(sf_dir: str, q: float = 0.5):
     return scored.map_batches(gate, batch_format="pyarrow")
 
 
+# ------------------------------------------- k-center coreset sample
+
+_KC_SCHEMA = pa.schema([
+    ("pick_order", pa.int64()), ("vec_id", pa.int64()),
+    ("min_dist_sq_micro", pa.int64())])
+
+
+def kcenter_sample(sf_dir: str, k: int = 16):
+    """Diversity (coreset) sampling: greedy k-center / farthest-point
+    selection over the embedding table — start from vec_id 0, then k-1
+    times pick the vector farthest (squared L2, ties to the lowest
+    vec_id) from everything selected so far.  The SemDeDup-adjacent
+    selection step a curation pipeline uses to build a maximally
+    diverse seed set.
+
+    Scale shape: the selected-set state is O(k x dim) and broadcasts
+    each round; each round is ONE map-only pass that updates a running
+    min-distance per vector (computed against only the NEWEST center —
+    the classic k-center optimization) and emits a one-row per-batch
+    argmax partial; the driver folds O(blocks) candidate rows.  The
+    running min-distances ride inside the pass by re-deriving from the
+    full center set (stateless tasks), so rounds stay independent and
+    resumable."""
+    import ray
+
+    ds = _read_sized(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"]).materialize()
+
+    centers = _init_centers(sf_dir, 1)   # vec_id 0 starts the set
+    picked = [(0, 0)]                    # (vec_id, dist_micro)
+
+    for _ in range(k - 1):
+        c_ref = ray.put(centers)
+
+        def far_partial(batch: pa.Table) -> pa.Table:
+            cs = ray.get(c_ref)
+            ids = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            x = np.asarray(batch.column("embedding").to_pylist(),
+                           dtype=np.float64)
+            d2 = ((x[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2) \
+                .min(axis=1)
+            j = int(np.lexsort((ids, -d2))[0])
+            return pa.table({
+                "vec_id": pa.array([int(ids[j])], pa.int64()),
+                "d2": pa.array([float(d2[j])], pa.float64())})
+
+        cands = ds.map_batches(far_partial,
+                               batch_format="pyarrow").take_all()
+        best = min(cands, key=lambda r: (-r["d2"], r["vec_id"]))
+        picked.append((int(best["vec_id"]),
+                       int(np.floor(best["d2"] * 1e6 + 0.5))))
+        import pyarrow.parquet as pq
+        import os
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "==", best["vec_id"])])
+        centers = np.vstack([centers,
+                             np.asarray(t.column("embedding")
+                                        .to_pylist(),
+                                        dtype=np.float64)])
+
+    return pa.table({
+        "pick_order": pa.array(range(len(picked)), pa.int64()),
+        "vec_id": pa.array([p[0] for p in picked], pa.int64()),
+        "min_dist_sq_micro": pa.array([p[1] for p in picked],
+                                      pa.int64())}, schema=_KC_SCHEMA)
+
+
 # ------------------------------------ count-min heavy-hitters sketch
 
 _CMS_D, _CMS_W = 4, 2048

@@ -343,6 +343,34 @@ def test_leakage_safe_split(ray_session):
                                   check_dtype=False)
 
 
+# ------------------------------------------------- kcenter_sample
+
+def test_kcenter_sample_matches_local_reference(ray_session):
+    """The distributed greedy k-center pick sequence equals a
+    from-scratch local farthest-point selection (same start, same
+    tie-break)."""
+    import pyarrow.parquet as pq
+    from iesl_pdf_to_text_ray.pipelines.table_ops_r5c import \
+        kcenter_sample
+    got = kcenter_sample(SF, k=8).to_pandas()
+    assert list(got["pick_order"]) == list(range(8))
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"]).to_pandas() \
+        .sort_values("vec_id")
+    ids = t["vec_id"].to_numpy(dtype=np.int64)
+    x = np.asarray(t["embedding"].tolist(), dtype=np.float64)
+    sel = [0]
+    mind = ((x - x[ids == 0][0]) ** 2).sum(axis=1)
+    for _ in range(7):
+        j = int(np.lexsort((ids, -mind))[0])
+        sel.append(int(ids[j]))
+        mind = np.minimum(mind, ((x - x[j]) ** 2).sum(axis=1))
+    assert list(got["vec_id"]) == sel
+    # distances are monotone non-increasing after the seed
+    d = got["min_dist_sq_micro"].to_numpy()[1:]
+    assert (np.diff(d) <= 0).all()
+
+
 # ----------------------------------- token_heavy_hitters_sketch
 
 def test_token_heavy_hitters_sketch(ray_session):
